@@ -1,0 +1,13 @@
+from .metrics import (
+    eval_label_matrix,
+    eval_qry2retro,
+    label_matrix_from_scores,
+    ranks_from_scores_device,
+)
+
+__all__ = [
+    "eval_label_matrix",
+    "eval_qry2retro",
+    "label_matrix_from_scores",
+    "ranks_from_scores_device",
+]

@@ -1,0 +1,145 @@
+"""Rank-based retrieval metrics: R@1/5/10, MedR, MeanR, MIR, mAP.
+
+Two paths:
+
+* **Host / parity path** — byte-exact reproduction of the reference metric
+  semantics (reference ``evaluation.py:64-109`` + label-matrix construction
+  in ``trainer.py:590-594``), including the argsort tie-breaking quirk:
+  descending order comes from *reversing a stable ascending argsort*, so
+  among tied scores the larger column index ranks first, and ``eval``'s
+  MedR is ``floor(median)`` WITHOUT +1 while ``eval_qry2retro`` adds +1.
+
+* **Device path** — ``ranks_from_scores_device`` computes the rank of the
+  ground-truth column by *counting* strictly-greater scores plus the exact
+  tie-correction, entirely on the TPU: one elementwise pass instead of an
+  O(G log G) host argsort, and it fuses with the similarity matmul under
+  jit. Produces identical ranks to the host path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# host / parity path
+# ---------------------------------------------------------------------------
+
+def label_matrix_from_scores(
+    scores: np.ndarray, query_ids: Sequence[str], gallery_ids: Sequence[str]
+) -> np.ndarray:
+    """Reference label-matrix construction (``trainer.py:584-594``):
+    sort each row descending (reversed stable ascending argsort), mark the
+    positions whose gallery id equals ``query_id.split('#')[0]``."""
+    scores = np.asarray(scores)
+    inds = np.argsort(scores, axis=1)
+    gallery_ids = np.asarray(gallery_ids)
+    label_matrix = np.zeros(scores.shape, dtype=np.int32)
+    for i, qid in enumerate(query_ids):
+        ind = inds[i][::-1]
+        gt = qid.split("#")[0]
+        label_matrix[i][np.where(gallery_ids[ind] == gt)[0]] = 1
+    return label_matrix
+
+
+def eval_label_matrix(label_matrix: np.ndarray):
+    """(r1, r5, r10, medr, meanr, mir, mAP) from a 0/1 label matrix whose
+    columns are already in ranked order (reference ``evaluation.py:92-109``)."""
+    label_matrix = np.asarray(label_matrix).astype(int)
+    n = label_matrix.shape[0]
+    ranks = np.zeros(n)
+    aps = np.zeros(n)
+    for i in range(n):
+        positions = np.where(label_matrix[i] == 1)[0] + 1
+        ranks[i] = positions[0]
+        aps[i] = np.mean([(k + 1.0) / positions[k] for k in range(len(positions))])
+
+    r1, r5, r10 = [100.0 * np.mean(ranks <= k) for k in (1, 5, 10)]
+    medr = np.floor(np.median(ranks))
+    meanr = ranks.mean()
+    mir = (1.0 / ranks).mean()
+    return (r1, r5, r10, medr, meanr, mir, aps.mean())
+
+
+def eval_qry2retro(qry2retro_sim: np.ndarray, n_qry: int = 1):
+    """Legacy block-diagonal protocol (reference ``evaluation.py:64-89``):
+    query row i matches gallery column i // n_qry. Note MedR/MeanR are +1
+    here, unlike ``eval_label_matrix``."""
+    sim = np.asarray(qry2retro_sim)
+    assert sim.shape[0] / sim.shape[1] == n_qry, sim.shape
+    inds = np.argsort(sim, axis=1)
+    ranks = np.zeros(sim.shape[0])
+    for i in range(sim.shape[0]):
+        ind = inds[i][::-1]
+        ranks[i] = np.where(ind == i // n_qry)[0][0]
+
+    r1 = 100.0 * np.mean(ranks < 1)
+    r5 = 100.0 * np.mean(ranks < 5)
+    r10 = 100.0 * np.mean(ranks < 10)
+    medr = np.floor(np.median(ranks)) + 1
+    meanr = ranks.mean() + 1
+    mir = (1.0 / (ranks + 1)).mean()
+    return (r1, r5, r10, medr, meanr, mir)
+
+
+def eval_t2v(
+    scores: np.ndarray, txt_ids: Sequence[str], vis_ids: Sequence[str]
+):
+    """Text->video metrics straight from a score matrix, matching the
+    reference validate() pipeline (label matrix -> eval)."""
+    label_matrix = label_matrix_from_scores(scores, txt_ids, vis_ids)
+    return eval_label_matrix(label_matrix)
+
+
+def eval_v2t(
+    scores: np.ndarray, txt_ids: Sequence[str], vis_ids: Sequence[str]
+):
+    """Video->text: transpose, queries become videos; a caption is relevant
+    when its ``cap_id.split('#')[0]`` equals the video id (reference
+    ``predictor.py:261-276``)."""
+    t_scores = np.asarray(scores).T
+    inds = np.argsort(t_scores, axis=1)
+    txt_roots = np.asarray([t.split("#")[0] for t in txt_ids])
+    label_matrix = np.zeros(t_scores.shape, dtype=np.int32)
+    for i, vid in enumerate(vis_ids):
+        ind = inds[i][::-1]
+        label_matrix[i][np.where(txt_roots[ind] == vid)[0]] = 1
+    return eval_label_matrix(label_matrix)
+
+
+# ---------------------------------------------------------------------------
+# device path
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def ranks_from_scores_device(scores: jnp.ndarray, gt_cols: jnp.ndarray) -> jnp.ndarray:
+    """1-based rank of ``gt_cols[q]`` in row q under descending order with
+    larger-index-first tie breaking — bit-identical to the host argsort
+    path, computed as two masked row-reductions on the VPU.
+
+    scores: (Q, G) float32, gt_cols: (Q,) int32 -> (Q,) int32 ranks.
+    """
+    q = scores.shape[0]
+    gt_scores = jnp.take_along_axis(scores, gt_cols[:, None], axis=1)  # (Q, 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    greater = jnp.sum((scores > gt_scores).astype(jnp.int32), axis=1)
+    tie_after = jnp.sum(
+        ((scores == gt_scores) & (col_ids > gt_cols[:, None])).astype(jnp.int32),
+        axis=1,
+    )
+    return greater + tie_after + 1
+
+
+def metrics_from_ranks(ranks: np.ndarray):
+    """(r1, r5, r10, medr, meanr, mir, mAP) for the single-positive case
+    (mAP == MIR when each query has exactly one relevant item)."""
+    ranks = np.asarray(ranks, dtype=np.float64)
+    r1, r5, r10 = [100.0 * np.mean(ranks <= k) for k in (1, 5, 10)]
+    medr = np.floor(np.median(ranks))
+    meanr = ranks.mean()
+    mir = (1.0 / ranks).mean()
+    return (r1, r5, r10, medr, meanr, mir, mir)

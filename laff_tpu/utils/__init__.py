@@ -1,0 +1,21 @@
+from .misc import (
+    ROOT_PATH,
+    AverageMeter,
+    Progress,
+    check_to_skip,
+    get_logger,
+    makedirs,
+    makedirs_for_file,
+    timer,
+)
+
+__all__ = [
+    "ROOT_PATH",
+    "AverageMeter",
+    "Progress",
+    "check_to_skip",
+    "get_logger",
+    "makedirs",
+    "makedirs_for_file",
+    "timer",
+]

@@ -1,0 +1,90 @@
+"""Metric parity tests: synthetic label matrices + device-rank equivalence."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from laff_tpu.eval import (
+    eval_label_matrix,
+    eval_qry2retro,
+    label_matrix_from_scores,
+    ranks_from_scores_device,
+)
+from laff_tpu.eval.metrics import eval_t2v, eval_v2t, metrics_from_ranks
+
+
+def test_eval_label_matrix_hand_computed():
+    # 3 queries; gt at ranked positions 1, 3, 2
+    lm = np.array(
+        [
+            [1, 0, 0, 0],
+            [0, 0, 1, 0],
+            [0, 1, 0, 0],
+        ]
+    )
+    r1, r5, r10, medr, meanr, mir, mAP = eval_label_matrix(lm)
+    np.testing.assert_allclose(r1, 100.0 / 3)
+    assert r5 == 100.0
+    np.testing.assert_allclose(meanr, 2.0)
+    np.testing.assert_allclose(medr, 2.0)
+    np.testing.assert_allclose(mir, (1 + 1 / 3 + 1 / 2) / 3)
+    np.testing.assert_allclose(mAP, mir)  # single positive -> mAP == MIR
+
+
+def test_eval_label_matrix_multiple_positives():
+    lm = np.array([[0, 1, 1, 0, 1]])
+    r1, r5, r10, medr, meanr, mir, mAP = eval_label_matrix(lm)
+    assert meanr == 2.0
+    # AP = mean(1/2, 2/3, 3/5)
+    np.testing.assert_allclose(mAP, (1 / 2 + 2 / 3 + 3 / 5) / 3)
+
+
+def test_eval_qry2retro_medr_plus_one():
+    sim = np.eye(4) + 0.001 * np.arange(16).reshape(4, 4)
+    r1, r5, r10, medr, meanr, mir = eval_qry2retro(sim)
+    assert r1 == 100.0
+    assert medr == 1.0
+    assert meanr == 1.0
+
+
+def test_device_ranks_match_host_argsort(rng):
+    scores = rng.standard_normal((50, 200)).astype(np.float32)
+    # inject ties to exercise tie-breaking
+    scores[:, 10] = scores[:, 20]
+    gt = rng.integers(0, 200, size=50).astype(np.int32)
+    txt_ids = [f"g{c}#i" for c in gt]
+    vis_ids = [f"g{c}" for c in range(200)]
+
+    lm = label_matrix_from_scores(scores, txt_ids, vis_ids)
+    host_ranks = np.argmax(lm, axis=1) + 1
+
+    dev_ranks = np.asarray(ranks_from_scores_device(jnp.asarray(scores), jnp.asarray(gt)))
+    np.testing.assert_array_equal(dev_ranks, host_ranks)
+
+
+def test_device_ranks_tie_semantics():
+    # all-equal scores: reversed stable argsort puts larger index first
+    scores = np.ones((1, 5), dtype=np.float32)
+    for gt, expected in [(4, 1), (0, 5), (2, 3)]:
+        r = int(ranks_from_scores_device(jnp.asarray(scores), jnp.asarray([gt], dtype=np.int32))[0])
+        assert r == expected
+
+
+def test_eval_t2v_v2t_consistency(rng):
+    # 6 videos, 2 captions each; make caption i strongly match its video
+    vis_ids = [f"v{i}" for i in range(6)]
+    txt_ids = [f"v{i}#c{j}" for i in range(6) for j in range(2)]
+    scores = rng.standard_normal((12, 6)).astype(np.float32) * 0.01
+    for k, tid in enumerate(txt_ids):
+        scores[k, int(tid[1])] = 1.0
+    t2v = eval_t2v(scores, txt_ids, vis_ids)
+    v2t = eval_v2t(scores, txt_ids, vis_ids)
+    assert t2v[0] == 100.0  # R@1
+    assert v2t[0] == 100.0
+
+
+def test_metrics_from_ranks():
+    out = metrics_from_ranks(np.array([1, 3, 2]))
+    ref = eval_label_matrix(
+        np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0]])
+    )
+    np.testing.assert_allclose(out, ref)
