@@ -1,0 +1,204 @@
+"""The LAFF dual-encoder model family.
+
+Re-designs the reference model classes (``model/model.py``) as two
+symmetric flax towers:
+
+  FusionTower  <- MultiScaleTxtEncoderAttention (txt, 1641-1709)
+               <- VisMutiTransformNetAddAttnetion (vis, 1830-1881)
+               <- VisMutiTransformNetPlusFrameFeat (FrameLAFF, 2101-2194)
+               <- MultiScaleTxtNet / VisTransformNet ('concat' path, 703-726 / 279-308)
+
+  LAFFModel    <- W2VVPP / W2VVPP_MutiVis / W2VVPP_MultiHeadAttention /
+                  W2VVPP_MutiVisFrameFeat (registry names preserved)
+
+Inputs are dense, fixed-shape arrays produced by the data pipeline
+(laff_tpu.data): BoW / W2V / precomputed CLIP and BERT vectors arrive as
+(B, D) features; the GRU consumes padded (B, T) token ids + lengths; frame
+features arrive padded (B, T, D) + (B, T) masks. Nothing dynamic ever
+enters the jitted graph.
+
+The reference's per-sample frame-attention Python loop
+(``model/model.py:2167-2173``) becomes one masked batched softmax. (That
+loop also reads sample 0's mask for every batch element — a reference bug
+we do NOT reproduce; we use each sample's own mask.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.norms import l2norm
+from .attention import get_attention_layer
+from .gru import GruEncoder
+from .layers import TransformNet
+from .spec import LAFFSpec, TowerSpec, TransformSpec
+
+
+def _transform_spec_for(spec: TowerSpec, name: str, dim_in: int) -> TransformSpec:
+    overrides = dict(spec.transform_overrides)
+    if name in overrides:
+        return overrides[name]
+    if name in spec.no_transform:
+        # BN-only passthrough (reference fc=False, activation=False path)
+        return TransformSpec(
+            dim_in=dim_in, dim_out=spec.common_dim, fc=False,
+            activation=None, dropout=0.0, batch_norm=True,
+        )
+    return TransformSpec(
+        dim_in=dim_in, dim_out=spec.common_dim, fc=True,
+        activation=spec.activation, dropout=spec.dropout,
+        batch_norm=spec.batch_norm,
+    )
+
+
+class FusionTower(nn.Module):
+    """feature dict -> (B, H, d) multi-space embedding (or (B, D) for
+    single-space attention kinds / 'concat')."""
+
+    spec: TowerSpec
+    is_visual: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: Dict[str, jnp.ndarray],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        spec = self.spec
+        features = list(spec.features)
+
+        # -- FrameLAFF: pool per-frame features into video-level vectors ----
+        frame_pooled: Dict[str, jnp.ndarray] = {}
+        if spec.frame_features:
+            fa = spec.frame_attention
+            for fname, fdim in spec.frame_features:
+                frames = inputs[f"{fname}@frames"]  # (B, T, D)
+                fmask = inputs.get(f"{fname}@mask")  # (B, T)
+                if spec.frame_add_fc:
+                    frames = nn.Dense(
+                        fdim,
+                        kernel_init=nn.initializers.xavier_uniform(),
+                        name=f"frame_fc_{_safe(fname)}",
+                    )(frames)
+                pooled = get_attention_layer(
+                    fa.kind, 1, fa, name=f"frame_attn_{_safe(fname)}"
+                )(frames, mask=fmask)
+                if pooled.ndim == 3:  # multi-head frame attention -> flatten
+                    pooled = pooled.reshape(pooled.shape[0], -1)
+                frame_pooled[fname] = pooled
+            if not spec.frame_feat_with_video_feat:
+                features = []
+            features = features + list(spec.frame_features)
+
+        # -- 'concat' fusion: concat raw features -> single TransformNet ----
+        if spec.attention.kind == "concat":
+            raw = [
+                self._raw_feature(name, inputs, frame_pooled, train)
+                for name, _ in features
+            ]
+            cat = jnp.concatenate(raw, axis=1)
+            return TransformNet(
+                dim_out=spec.common_dim, activation=spec.activation,
+                dropout=spec.dropout, batch_norm=spec.batch_norm,
+                name="transform",
+            )(cat, train=train)
+
+        # -- per-feature projection into the common space -------------------
+        locals_ = []
+        for name, dim in features:
+            feat = self._raw_feature(name, inputs, frame_pooled, train)
+            if self.is_visual and train:
+                # all-zero feature batches destabilize BN/attention; the
+                # reference substitutes noise (model/model.py:1819-1821)
+                is_zero = jnp.sum(jnp.abs(feat)) == 0.0
+                noise = jax.random.normal(
+                    self.make_rng("dropout"), feat.shape, feat.dtype
+                )
+                feat = jnp.where(is_zero, noise, feat)
+            tspec = _transform_spec_for(spec, name, dim)
+            if name in spec.no_transform and not tspec.fc:
+                reps = spec.common_dim // feat.shape[-1]
+                feat = jnp.tile(feat, (1, reps))
+            feat = TransformNet(
+                dim_out=tspec.dim_out, fc=tspec.fc,
+                activation=tspec.activation, dropout=tspec.dropout,
+                batch_norm=tspec.batch_norm,
+                name=f"transform_{_safe(name)}",
+            )(feat, train=train)
+            locals_.append(feat)
+
+        if spec.feat_add_concat:
+            cat = jnp.concatenate(
+                [self._raw_feature(n, inputs, frame_pooled, train) for n, _ in features],
+                axis=1,
+            )
+            cat = TransformNet(
+                dim_out=spec.common_dim, activation=spec.activation,
+                dropout=spec.dropout, batch_norm=spec.batch_norm,
+                name="transform_feat_add_concat",
+            )(cat, train=train)
+            locals_.append(cat)
+
+        local_embs = jnp.stack(locals_, axis=1)  # (B, L, common)
+
+        if spec.expert_embedding:
+            experts = self.param(
+                "expert_embedding",
+                nn.initializers.normal(1.0),
+                (local_embs.shape[1], spec.common_dim),
+            )
+            local_embs = local_embs + experts[None, :, :]
+        if spec.expert_l2norm:
+            local_embs = l2norm(local_embs, axis=2)
+
+        attn = get_attention_layer(
+            spec.attention.kind, len(features), spec.attention, name="attention"
+        )
+        return attn(local_embs)
+
+    def _raw_feature(self, name, inputs, frame_pooled, train):
+        if name in frame_pooled:
+            return frame_pooled[name]
+        if name == "rnn":
+            return GruEncoder(self.spec.gru, name="gru")(
+                inputs["rnn_ids"], inputs["rnn_len"]
+            )
+        return inputs[name]
+
+
+def _safe(name: str) -> str:
+    return name.replace(".", "_").replace(",", "_").replace("/", "_").replace("+", "_")
+
+
+class LAFFModel(nn.Module):
+    """Dual-encoder: ``encode_txt`` / ``encode_vis`` produce common-space
+    embeddings; similarity and loss live in laff_tpu.ops (pure functions),
+    the optimizer in the trainer — not inside the model, unlike the
+    reference's model-owns-everything design."""
+
+    spec: LAFFSpec
+
+    def setup(self):
+        self.txt_tower = FusionTower(self.spec.txt, is_visual=False, name="txt_net")
+        self.vis_tower = FusionTower(self.spec.vis, is_visual=True, name="vis_net")
+
+    def encode_txt(self, inputs: Dict[str, jnp.ndarray], train: bool = False):
+        return self.txt_tower(inputs, train=train)
+
+    def encode_vis(self, inputs: Dict[str, jnp.ndarray], train: bool = False):
+        return self.vis_tower(inputs, train=train)
+
+    def __call__(
+        self,
+        txt_inputs: Dict[str, jnp.ndarray],
+        vis_inputs: Dict[str, jnp.ndarray],
+        train: bool = False,
+    ):
+        return (
+            self.encode_txt(txt_inputs, train=train),
+            self.encode_vis(vis_inputs, train=train),
+        )

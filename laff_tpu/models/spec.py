@@ -1,0 +1,102 @@
+"""ModelSpec: the architecture description consumed by the model builders.
+
+This is the boundary between the user-facing config system (string-keyed,
+mutated by ``adjust_parm`` sweeps — see laff_tpu.engine.config) and the
+pure-functional model code: everything the towers need, as a frozen,
+hashable dataclass that can be closed over by jit without retracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionSpec:
+    """Which fusion attention to build and its knobs (reference
+    ``model/model.py:70-208`` registry arguments)."""
+
+    kind: str = "Multi_head_MyApply_Attention"
+    heads: int = 8
+    with_ave: bool = True
+    mul: bool = False
+    split_head: bool = True
+    l2norm_each_head: bool = False
+    dropout: float = 0.0
+    output_type: str = "mean"  # my_self_attention only
+    agg: str = "mean"  # muti_head_attention_official only
+    embed_dim_qkv: int = 512  # Attention_2 only
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformSpec:
+    """One projection head: Linear -> activation -> dropout -> BatchNorm
+    (reference TransformNet, ``model/model.py:211-277``)."""
+
+    dim_in: int
+    dim_out: int
+    fc: bool = True
+    activation: Optional[str] = "tanh"
+    dropout: float = 0.2
+    batch_norm: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class GruSpec:
+    vocab_size: int = 0
+    we_dim: int = 500
+    rnn_size: int = 1024
+    rnn_layer: int = 1
+    pooling: str = "mean"  # mean | last | mean_last
+    bidirectional: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TowerSpec:
+    """One side (text or visual) of the dual-encoder.
+
+    features: ordered mapping feature-name -> input dim. Encoder order is
+    significant (expert embeddings, checkpoint import) and follows the
+    reference insertion order.
+    no_transform: features passed through BN-only (no fc / activation),
+    tiled ``heads`` times to reach common_dim (reference
+    ``vis_no_transform`` / ``txt_no_transform`` handling).
+    """
+
+    features: Tuple[Tuple[str, int], ...]
+    common_dim: int = 4096
+    attention: AttentionSpec = dataclasses.field(default_factory=AttentionSpec)
+    no_transform: Tuple[str, ...] = ()
+    transform_overrides: Tuple[Tuple[str, TransformSpec], ...] = ()
+    expert_embedding: bool = False
+    expert_l2norm: bool = False
+    dropout: float = 0.2
+    batch_norm: bool = False
+    activation: str = "tanh"
+    gru: Optional[GruSpec] = None  # text tower only, when 'rnn' in features
+    # FrameLAFF (visual tower only): frame-feature name -> dim, pooled by a
+    # masked frame-axis attention before feature-level fusion
+    frame_features: Tuple[Tuple[str, int], ...] = ()
+    frame_attention: Optional[AttentionSpec] = None
+    frame_add_fc: bool = False
+    frame_feat_with_video_feat: bool = True
+    feat_add_concat: bool = False
+
+    def feature_dims(self) -> Dict[str, int]:
+        return dict(self.features)
+
+
+@dataclasses.dataclass(frozen=True)
+class LAFFSpec:
+    """Full dual-encoder spec."""
+
+    txt: TowerSpec
+    vis: TowerSpec
+    multi_space: bool = True
+    measure: str = "cosine"
+    margin: float = 0.2
+    direction: str = "t2i"
+    max_violation: bool = True
+    cost_style: str = "sum"
+    loss: str = "mrl"  # mrl | dsl | CELoss

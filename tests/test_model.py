@@ -1,0 +1,219 @@
+"""End-to-end LAFF model: towers, jit-compiled forward, gradient flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laff_tpu.models import (
+    AttentionSpec,
+    GruSpec,
+    LAFFModel,
+    LAFFSpec,
+    TowerSpec,
+)
+from laff_tpu.ops import triplet_loss_multi_space
+
+
+def laff_ml_spec(heads=4, common=64):
+    """Miniature LAFF-ml: bow+w2v+gru+clip text, 4 video features."""
+    txt = TowerSpec(
+        features=(("rnn", 16), ("bow", 30), ("w2v", 10), ("clip", 12)),
+        common_dim=common,
+        attention=AttentionSpec(
+            kind="Multi_head_MyApply_Attention", heads=heads,
+            with_ave=False, mul=False, split_head=True,
+        ),
+        gru=GruSpec(vocab_size=25, we_dim=8, rnn_size=16, pooling="mean"),
+        batch_norm=True,
+    )
+    vis = TowerSpec(
+        features=(("clip_ft", 12), ("x3d", 20), ("ircsn", 24), ("tf", 28)),
+        common_dim=common,
+        attention=AttentionSpec(
+            kind="Multi_head_MyApply_Attention", heads=heads,
+            with_ave=False, mul=False, split_head=True,
+        ),
+        batch_norm=True,
+    )
+    return LAFFSpec(txt=txt, vis=vis)
+
+
+def make_batch(rng, b=6):
+    txt = {
+        "rnn_ids": rng.integers(0, 25, (b, 9)).astype(np.int32),
+        "rnn_len": rng.integers(2, 9, (b,)).astype(np.int32),
+        "bow": rng.standard_normal((b, 30)).astype(np.float32),
+        "w2v": rng.standard_normal((b, 10)).astype(np.float32),
+        "clip": rng.standard_normal((b, 12)).astype(np.float32),
+    }
+    vis = {
+        "clip_ft": rng.standard_normal((b, 12)).astype(np.float32),
+        "x3d": rng.standard_normal((b, 20)).astype(np.float32),
+        "ircsn": rng.standard_normal((b, 24)).astype(np.float32),
+        "tf": rng.standard_normal((b, 28)).astype(np.float32),
+    }
+    return {k: jnp.asarray(v) for k, v in txt.items()}, {
+        k: jnp.asarray(v) for k, v in vis.items()
+    }
+
+
+def test_laff_ml_forward_shapes(rng):
+    spec = laff_ml_spec()
+    model = LAFFModel(spec)
+    txt, vis = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, txt, vis
+    )
+    t_emb, v_emb = model.apply(variables, txt, vis)
+    assert t_emb.shape == (6, 4, 16)
+    assert v_emb.shape == (6, 4, 16)
+    # per-head unit norm
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(t_emb), axis=-1), 1.0, rtol=1e-4
+    )
+
+
+def test_laff_ml_train_step_gradients(rng):
+    spec = laff_ml_spec()
+    model = LAFFModel(spec)
+    txt, vis = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, txt, vis
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    schedule = variables.get("schedule", {})
+
+    @jax.jit
+    def loss_fn(params):
+        (t_emb, v_emb), updates = model.apply(
+            {
+                "params": params,
+                "batch_stats": batch_stats,
+                "schedule": schedule,
+            },
+            txt, vis, train=True,
+            rngs={"dropout": jax.random.key(2)},
+            mutable=["batch_stats"],
+        )
+        return triplet_loss_multi_space(t_emb, v_emb)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # gradient reaches every tower parameter family
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    nonzero = {
+        jax.tree_util.keystr(path)
+        for path, g in flat
+        if float(jnp.abs(g).sum()) > 0
+    }
+    assert any("txt_net" in k and "gate_kernel" in k for k in nonzero)
+    assert any("vis_net" in k and "fc1" in k for k in nonzero)
+    assert any("gru" in k for k in nonzero)
+
+
+def test_no_transform_passthrough(rng):
+    """A no_transform feature is tiled heads times and BN'd, no fc."""
+    heads, d = 4, 16
+    vis = TowerSpec(
+        features=(("clip_ft", d),),
+        common_dim=heads * d,
+        attention=AttentionSpec(kind="Multi_head_MyApply_Attention", heads=heads),
+        no_transform=("clip_ft",),
+    )
+    txt = TowerSpec(
+        features=(("bow", 8),),
+        common_dim=heads * d,
+        attention=AttentionSpec(kind="Multi_head_MyApply_Attention", heads=heads),
+    )
+    model = LAFFModel(LAFFSpec(txt=txt, vis=vis))
+    tb = {"bow": jnp.asarray(rng.standard_normal((3, 8)).astype(np.float32))}
+    vb = {"clip_ft": jnp.asarray(rng.standard_normal((3, d)).astype(np.float32))}
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, tb, vb
+    )
+    # vis tower must have no fc for clip_ft
+    assert "fc1" not in variables["params"]["vis_net"]["transform_clip_ft"]
+    t_emb, v_emb = model.apply(variables, tb, vb)
+    assert v_emb.shape == (3, heads, d)
+
+
+def test_frame_laff_two_level_fusion(rng):
+    """FrameLAFF: frame-axis attention pooling feeds feature-level fusion."""
+    heads = 2
+    vis = TowerSpec(
+        features=(("mean_clip", 12),),
+        common_dim=32,
+        attention=AttentionSpec(
+            kind="Multi_head_MyApply_Attention", heads=heads, with_ave=False
+        ),
+        frame_features=(("clip_frames", 12),),
+        frame_attention=AttentionSpec(
+            kind="attention_noAveNoAverageMul", heads=1
+        ),
+        frame_feat_with_video_feat=True,
+    )
+    txt = TowerSpec(
+        features=(("bow", 8),),
+        common_dim=32,
+        attention=AttentionSpec(
+            kind="Multi_head_MyApply_Attention", heads=heads, with_ave=False
+        ),
+    )
+    model = LAFFModel(LAFFSpec(txt=txt, vis=vis))
+    b, t = 3, 5
+    tb = {"bow": jnp.asarray(rng.standard_normal((b, 8)).astype(np.float32))}
+    vb = {
+        "mean_clip": jnp.asarray(rng.standard_normal((b, 12)).astype(np.float32)),
+        "clip_frames@frames": jnp.asarray(
+            rng.standard_normal((b, t, 12)).astype(np.float32)
+        ),
+        "clip_frames@mask": jnp.asarray(
+            np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1], [1, 0, 0, 0, 0]], np.float32)
+        ),
+    }
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, tb, vb
+    )
+    t_emb, v_emb = model.apply(variables, tb, vb)
+    assert v_emb.shape == (b, heads, 16)
+
+    # padding frames must not affect the result
+    vb2 = dict(vb)
+    frames = np.asarray(vb["clip_frames@frames"]).copy()
+    frames[0, 3:] = 123.0  # padded region of sample 0
+    vb2["clip_frames@frames"] = jnp.asarray(frames)
+    t2, v2 = model.apply(variables, tb, vb2)
+    np.testing.assert_allclose(np.asarray(v_emb), np.asarray(v2), rtol=1e-5)
+
+
+def test_concat_tower(rng):
+    """'concat' attention reproduces the W2VVPP concat-then-project path."""
+    txt = TowerSpec(
+        features=(("bow", 8), ("w2v", 6)),
+        common_dim=24,
+        attention=AttentionSpec(kind="concat"),
+    )
+    vis = TowerSpec(
+        features=(("f1", 10), ("f2", 12)),
+        common_dim=24,
+        attention=AttentionSpec(kind="concat"),
+    )
+    model = LAFFModel(LAFFSpec(txt=txt, vis=vis))
+    tb = {
+        "bow": jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32)),
+        "w2v": jnp.asarray(rng.standard_normal((4, 6)).astype(np.float32)),
+    }
+    vb = {
+        "f1": jnp.asarray(rng.standard_normal((4, 10)).astype(np.float32)),
+        "f2": jnp.asarray(rng.standard_normal((4, 12)).astype(np.float32)),
+    }
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, tb, vb
+    )
+    t_emb, v_emb = model.apply(variables, tb, vb)
+    assert t_emb.shape == (4, 24)
+    assert v_emb.shape == (4, 24)
