@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Prediction CLI — argument surface mirrors the reference
+``do_predictor.py``/``predictor.parse_args``."""
+
+import argparse
+import sys
+
+from laff_tpu.engine.predictor import PredictOptions, main as predict_main
+from laff_tpu.utils import ROOT_PATH
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser("LAFF-TPU predictor")
+    parser.add_argument("testCollection", type=str)
+    parser.add_argument("model_path", type=str, help="checkpoint to load")
+    parser.add_argument("sim_name", type=str,
+                        help="sub-folder where computed similarities are saved")
+    parser.add_argument("--rootpath", type=str, default=ROOT_PATH)
+    parser.add_argument("--overwrite", type=int, default=0, choices=[0, 1])
+    parser.add_argument("--query_sets", type=str, default="tv16.avs.txt")
+    parser.add_argument("--predict_result_file", type=str,
+                        default="result_log/result_test.txt")
+    parser.add_argument("--batch_size", default=1024, type=int)
+    parser.add_argument("--num_workers", default=0, type=int)
+    parser.add_argument("--device", default="0", type=str)
+    parser.add_argument("--task3_caption", type=str, default="no_task3_caption")
+    args = parser.parse_args(argv)
+    return PredictOptions(**vars(args))
+
+
+def main(argv=None):
+    predict_main(parse_args(argv))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Training CLI — argument surface mirrors the reference ``do_trainer.py``
+so the shell orchestration layer drives this framework unchanged."""
+
+import argparse
+import sys
+
+from laff_tpu.engine import Options
+from laff_tpu.utils import ROOT_PATH
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser("LAFF-TPU training script.")
+    parser.add_argument("trainCollection", type=str, help="train collection")
+    parser.add_argument("valCollection", type=str, help="validation collection")
+    parser.add_argument("--rootpath", type=str, default=ROOT_PATH)
+    parser.add_argument("--trainCollection2", type=str, default="None")
+    parser.add_argument("--task2_caption", type=str, default="no_task2_caption")
+    parser.add_argument("--task3_caption", type=str, default="no_task3_caption")
+    parser.add_argument("--train_strategy", type=str, default="usual")
+    parser.add_argument("--overwrite", type=int, default=0, choices=[0, 1])
+    parser.add_argument("--val_set", type=str, default="setA")
+    parser.add_argument("--metric", type=str, default="mir",
+                        choices=["r1", "r5", "r10", "medr", "meanr", "mir"])
+    parser.add_argument("--num_epochs", default=80, type=int)
+    parser.add_argument("--batch_size", default=128, type=int)
+    parser.add_argument("--workers", default=2, type=int)
+    parser.add_argument("--model_prefix", default="runs_0", type=str)
+    parser.add_argument("--config_name", type=str, default="laff")
+    parser.add_argument("--parm_adjust_config", type=str, default="None")
+    parser.add_argument("--device", default="0", type=str,
+                        help="accepted for CLI parity; device selection is JAX-managed")
+    parser.add_argument("--random_seed", default=2, type=int)
+    parser.add_argument("--local_rank", default=0, type=int)
+    parser.add_argument("--pretrained_file_path", default="None", type=str)
+    parser.add_argument("--save_mean_last", default=0, type=int, choices=[0, 1])
+    args = parser.parse_args(argv)
+    return Options(**vars(args))
+
+
+def main(argv=None):
+    import os
+
+    opt = parse_args(argv)
+    from laff_tpu.engine.prepare import model_dir_for
+    from laff_tpu.utils import check_to_skip
+
+    best = os.path.join(model_dir_for(opt), "model_best.pth.tar")
+    if check_to_skip(best, opt.overwrite):
+        return 0
+    from laff_tpu.engine import trainer
+
+    trainer.main(opt)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,14 @@
+from .sources import TextSource, VisionSource, read_video_set, vis_id_of
+from .feed import EvalFeed, PairFeed, Prefetcher, TextBatcher, VisBatcher
+
+__all__ = [
+    "TextSource",
+    "VisionSource",
+    "read_video_set",
+    "vis_id_of",
+    "EvalFeed",
+    "PairFeed",
+    "Prefetcher",
+    "TextBatcher",
+    "VisBatcher",
+]

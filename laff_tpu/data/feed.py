@@ -1,0 +1,206 @@
+"""Fixed-shape batchers + a prefetching host->device feed.
+
+TPU-first replacement for the reference DataLoader/collate stack
+(``data_provider.py:26-152, 812-870``):
+
+* Text featurization (BoW counts, w2v mean-pool, GRU index padding) is
+  vectorized host work done *in the feed*, not inside the model forward
+  (the reference encodes per caption inside the torch graph,
+  ``model/model.py:404-434``, which would starve a TPU).
+* Every batch has a static shape: the train feed drops the trailing
+  partial batch; eval feeds pad the final batch and report the valid count
+  so jit never retraces.
+* ``Prefetcher`` overlaps the host featurization + H2D copy of batch k+1
+  with device compute on batch k (double buffering over the PCIe/ICI DMA),
+  the classic input-pipeline pattern the reference lacked.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..text.txt2vec import IndexVec, Txt2Vec
+from .sources import TextSource, VisionSource, vis_id_of
+
+
+class TextBatcher:
+    """cap_ids -> model-ready dense text arrays.
+
+    featurizers:
+      'bow' / 'w2v': Txt2Vec instances -> (B, D)
+      'rnn': IndexVec -> 'rnn_ids' (B, max_txtlength) + 'rnn_len' (B,)
+      'clip' / 'bert': taken from TextSource.precomputed ('CLIP_encoding',
+      'bert_encoding' BigFiles) -> (B, D)
+    """
+
+    _PRECOMPUTED_KEYS = {"clip": "CLIP_encoding", "bert": "bert_encoding"}
+
+    def __init__(
+        self,
+        source: TextSource,
+        featurizers: Dict[str, Txt2Vec],
+        max_txtlength: int = 77,
+    ) -> None:
+        self.source = source
+        self.featurizers = featurizers
+        self.max_txtlength = max_txtlength
+
+    def __call__(self, cap_ids: Sequence[str]) -> Dict[str, np.ndarray]:
+        captions = self.source.captions_for(cap_ids)
+        return self.encode_captions(captions, cap_ids)
+
+    def encode_captions(
+        self,
+        captions: Sequence[str],
+        cap_ids: Optional[Sequence[str]] = None,
+    ) -> Dict[str, np.ndarray]:
+        batch: Dict[str, np.ndarray] = {}
+        precomputed = None
+        for name, t2v in self.featurizers.items():
+            if name == "rnn":
+                assert isinstance(t2v, IndexVec)
+                ids, lengths = t2v.encode_batch_padded(captions, self.max_txtlength)
+                batch["rnn_ids"] = ids
+                batch["rnn_len"] = lengths
+            elif name in self._PRECOMPUTED_KEYS:
+                if cap_ids is None:
+                    raise ValueError(f"{name} features need cap_ids")
+                if precomputed is None:
+                    precomputed = self.source.gather_precomputed(cap_ids)
+                batch[name] = precomputed[self._PRECOMPUTED_KEYS[name]]
+            else:
+                batch[name] = t2v.encode_batch(captions)
+        return batch
+
+
+class VisBatcher:
+    """vis_ids -> model-ready visual arrays (video-level + padded frames)."""
+
+    def __init__(self, source: VisionSource, with_frames: bool = False) -> None:
+        self.source = source
+        self.with_frames = with_frames
+
+    def __call__(self, vis_ids: Sequence[str]) -> Dict[str, np.ndarray]:
+        batch = dict(self.source.gather(vis_ids))
+        if self.with_frames:
+            batch.update(self.source.gather_frames(vis_ids))
+        return batch
+
+
+def _chunks(ids: List[str], batch_size: int, drop_last: bool) -> Iterator[List[str]]:
+    n = len(ids)
+    end = (n // batch_size) * batch_size if drop_last else n
+    for start in range(0, end, batch_size):
+        yield ids[start : start + batch_size]
+
+
+class PairFeed:
+    """Training feed: shuffled (caption, video) pairs in fixed-size batches.
+
+    Yields dicts {'txt': {...}, 'vis': {...}, 'cap_ids': [...]}. The
+    trailing partial batch is dropped so the jitted train step sees one
+    static shape (torch-DataLoader semantics kept otherwise).
+    """
+
+    def __init__(
+        self,
+        text_batcher: TextBatcher,
+        vis_batcher: VisBatcher,
+        batch_size: int = 128,
+        seed: int = 0,
+    ) -> None:
+        self.text_batcher = text_batcher
+        self.vis_batcher = vis_batcher
+        self.batch_size = batch_size
+        self.seed = seed
+        self.cap_ids = list(text_batcher.source.cap_ids)
+
+    def steps_per_epoch(self) -> int:
+        return len(self.cap_ids) // self.batch_size
+
+    def epoch(self, epoch: int) -> Iterator[Dict]:
+        order = np.random.default_rng(self.seed + epoch).permutation(len(self.cap_ids))
+        shuffled = [self.cap_ids[i] for i in order]
+        for chunk in _chunks(shuffled, self.batch_size, drop_last=True):
+            vis_ids = [vis_id_of(c) for c in chunk]
+            yield {
+                "txt": self.text_batcher(chunk),
+                "vis": self.vis_batcher(vis_ids),
+                "cap_ids": chunk,
+                "vis_ids": vis_ids,
+            }
+
+
+class EvalFeed:
+    """Deterministic feed over all items; final batch zero-padded to the
+    batch size with 'valid' giving the real count."""
+
+    def __init__(
+        self,
+        ids: Sequence[str],
+        batcher: Callable[[Sequence[str]], Dict[str, np.ndarray]],
+        batch_size: int = 512,
+        pad: bool = True,
+    ) -> None:
+        self.ids = list(ids)
+        self.batcher = batcher
+        self.batch_size = batch_size
+        self.pad = pad
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __iter__(self) -> Iterator[Dict]:
+        for chunk in _chunks(self.ids, self.batch_size, drop_last=False):
+            valid = len(chunk)
+            padded_chunk = chunk
+            if self.pad and valid < self.batch_size:
+                padded_chunk = chunk + [chunk[-1]] * (self.batch_size - valid)
+            batch = self.batcher(padded_chunk)
+            yield {"data": batch, "ids": chunk, "valid": valid}
+
+
+class Prefetcher:
+    """Runs an iterator in a background thread, optionally pushing each
+    element to device, keeping ``depth`` batches in flight."""
+
+    _DONE = object()
+
+    def __init__(
+        self,
+        iterator: Iterable,
+        depth: int = 2,
+        transfer: Optional[Callable] = None,
+    ) -> None:
+        self._queue: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._transfer = transfer
+        self._err: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    if self._transfer is not None:
+                        item = self._transfer(item)
+                    self._queue.put(item)
+            except BaseException as e:  # propagate to consumer
+                self._err = e
+            finally:
+                self._queue.put(self._DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

@@ -1,0 +1,90 @@
+"""Checkpointing: pytree state + pickled config, reference-compatible
+best-model dance.
+
+Format: a single pickle holding numpy-converted variable collections plus
+the config/opt metadata — the JAX analog of the reference's
+``{'epoch','model','best_perf','config','opt'}`` torch dict
+(``trainer.py:370-372``). Files keep the reference naming
+(``model_best.pth.tar`` etc.) so the shell layer and predictor CLIs work
+unchanged; the payload is sniffed on load, and genuine reference torch
+checkpoints are routed to the importer in laff_tpu.engine.torch_import.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+from ..utils import get_logger
+
+logger = get_logger(__name__)
+
+_MAGIC = "laff_tpu_ckpt_v1"
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(state: Dict[str, Any], path: str) -> None:
+    payload = dict(state)
+    payload["__format__"] = _MAGIC
+    for key in ("params", "batch_stats", "schedule"):
+        if key in payload and payload[key] is not None:
+            payload[key] = _to_numpy(payload[key])
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        pickle.dump(payload, fh, pickle.HIGHEST_PROTOCOL)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a laff_tpu checkpoint; reference torch checkpoints are detected
+    and converted via the torch importer."""
+    with open(path, "rb") as fh:
+        head = fh.read(2)
+    if head == b"PK":  # torch zipfile serialization
+        from .torch_import import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+    with open(path, "rb") as fh:
+        payload = pickle.load(fh)
+    if payload.get("__format__") != _MAGIC:
+        raise ValueError(f"{path}: not a laff_tpu checkpoint")
+    return payload
+
+
+def save_checkpoint_dance(
+    state: Dict[str, Any],
+    is_best: bool,
+    logdir: str,
+    filename: str = "checkpoint.pth.tar",
+    only_best: bool = False,
+) -> None:
+    """Reference best-model protocol (``trainer.py:626-645``): best epochs
+    are staged as model_temp_best; at training end the staged file becomes
+    model_best and the stage is removed."""
+    resfile = os.path.join(logdir, filename)
+    if is_best:
+        save_checkpoint(state, resfile)
+        shutil.copyfile(resfile, os.path.join(logdir, "model_temp_best.pth.tar"))
+        os.remove(resfile)
+    if only_best:
+        staged = os.path.join(logdir, "model_temp_best.pth.tar")
+        shutil.copyfile(staged, os.path.join(logdir, "model_best.pth.tar"))
+        os.remove(staged)
+
+
+def average_states(states) -> Dict[str, Any]:
+    """Uniform parameter average (mean_last10, reference
+    ``trainer.py:410-424``)."""
+    n = len(states)
+    out = states[0]
+    for other in states[1:]:
+        out = jax.tree_util.tree_map(lambda a, b: a + b, out, other)
+    return jax.tree_util.tree_map(lambda a: a / n, out)

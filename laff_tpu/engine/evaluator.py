@@ -1,0 +1,124 @@
+"""Inference: embed galleries/queries, similarity matrices, rank metrics.
+
+The TPU-native replacement for the reference predict loop
+(``model/model.py:1019-1128``): visual embeddings are computed once and
+kept on device; text batches stream through a jitted encode; similarities
+are blockwise MXU matmuls with the H-head mean fused in; ranks come from
+the device-side counting kernel (laff_tpu.eval) so no full argsort ever
+runs on the host for validation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import EvalFeed, Prefetcher
+from ..eval import ranks_from_scores_device
+from ..eval.metrics import metrics_from_ranks
+from ..ops import multi_head_cosine_sim
+from ..ops.norms import l2norm
+from ..utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class Embedder:
+    """Jitted tower application with static batch shapes."""
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+
+        def _txt(variables, batch):
+            return model.apply(variables, batch, method=model.encode_txt)
+
+        def _vis(variables, batch):
+            return model.apply(variables, batch, method=model.encode_vis)
+
+        self._txt = jax.jit(_txt)
+        self._vis = jax.jit(_vis)
+
+    def _embed(self, fn, feed: EvalFeed) -> Tuple[jnp.ndarray, List[str]]:
+        chunks, ids = [], []
+        for item in Prefetcher(iter(feed), depth=2):
+            emb = fn(self.variables, {k: jnp.asarray(v) for k, v in item["data"].items()})
+            chunks.append(emb[: item["valid"]] if item["valid"] < emb.shape[0] else emb)
+            ids.extend(item["ids"])
+        return jnp.concatenate(chunks, axis=0), ids
+
+    def embed_txt(self, feed: EvalFeed):
+        return self._embed(self._txt, feed)
+
+    def embed_vis(self, feed: EvalFeed):
+        return self._embed(self._vis, feed)
+
+
+@jax.jit
+def _scores_block(txt_embs: jnp.ndarray, vis_embs: jnp.ndarray) -> jnp.ndarray:
+    if txt_embs.ndim == 3:
+        return multi_head_cosine_sim(txt_embs, vis_embs)
+    t = l2norm(txt_embs)
+    v = l2norm(vis_embs)
+    return jnp.dot(t, v.T, preferred_element_type=jnp.float32)
+
+
+def score_matrix(
+    txt_embs: jnp.ndarray,
+    vis_embs: jnp.ndarray,
+    block: int = 8192,
+) -> np.ndarray:
+    """Full (T, V) similarity matrix, computed in device blocks over the
+    text axis to bound HBM."""
+    n = txt_embs.shape[0]
+    if n <= block:
+        return np.asarray(_scores_block(txt_embs, vis_embs))
+    out = np.empty((n, vis_embs.shape[0]), dtype=np.float32)
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        out[start:stop] = np.asarray(_scores_block(txt_embs[start:stop], vis_embs))
+    return out
+
+
+def t2v_ranks(
+    txt_embs: jnp.ndarray,
+    vis_embs: jnp.ndarray,
+    txt_ids: List[str],
+    vis_ids: List[str],
+    block: int = 8192,
+) -> np.ndarray:
+    """1-based ranks of the ground-truth video per caption, computed fully
+    on device (scores + counting), never materializing host-side argsorts."""
+    vid_index = {v: i for i, v in enumerate(vis_ids)}
+    gt = np.asarray([vid_index[t.split("#")[0]] for t in txt_ids], dtype=np.int32)
+    n = txt_embs.shape[0]
+    ranks = np.empty((n,), dtype=np.int32)
+    for start in range(0, n, block):
+        stop = min(start + block, n)
+        scores = _scores_block(txt_embs[start:stop], vis_embs)
+        ranks[start:stop] = np.asarray(
+            ranks_from_scores_device(scores, jnp.asarray(gt[start:stop]))
+        )
+    return ranks
+
+
+def validate(
+    embedder: Embedder,
+    txt_feed: EvalFeed,
+    vis_feed: EvalFeed,
+    txt_ids_all: Optional[List[str]] = None,
+) -> Dict[str, float]:
+    """Text->video metrics over a validation split. Returns the reference
+    metric dict (r1/r5/r10/medr/meanr/mir/mAP)."""
+    vis_embs, vis_ids = embedder.embed_vis(vis_feed)
+    txt_embs, txt_ids = embedder.embed_txt(txt_feed)
+    ranks = t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids)
+    r1, r5, r10, medr, meanr, mir, mAP = metrics_from_ranks(ranks)
+    return {
+        "r1": r1, "r5": r5, "r10": r10, "medr": medr,
+        "meanr": meanr, "mir": mir, "mAP": mAP,
+        "ranks": ranks, "txt_ids": txt_ids, "vis_ids": vis_ids,
+    }

@@ -1,0 +1,250 @@
+"""Prediction / evaluation driver (reference ``predictor.py:23-452``).
+
+Loads a checkpoint (laff_tpu native or reference PyTorch via the torch
+importer), rebuilds the model from the pickled spec/config, embeds the test
+collection once, and per query set produces:
+
+* benchmark collections: t2v + v2t metric rows appended to the
+  result_log TSVs (identical column format) and a top-500 ``t2v.pkl``
+  rank dump;
+* AVS collections (iacc.3 / v3c1): the full ``id.sent.score.txt`` ranking
+  consumed by the TRECVID harness (laff_tpu.eval.trecvid).
+
+Rankings use on-device ``lax.top_k`` over the blockwise similarity matrix
+instead of a host argsort of the full T x V matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import EvalFeed
+from ..eval.metrics import eval_label_matrix, metrics_from_ranks
+from ..models import LAFFModel
+from ..utils import ROOT_PATH, check_to_skip, get_logger, makedirs
+
+from .checkpoint import load_checkpoint
+from .evaluator import Embedder, score_matrix, t2v_ranks
+
+logger = get_logger(__name__)
+
+AVS_COLLECTIONS = ("iacc.3", "v3c1")
+
+
+@dataclasses.dataclass
+class PredictOptions:
+    testCollection: str
+    model_path: str
+    sim_name: str
+    rootpath: str = ROOT_PATH
+    overwrite: int = 0
+    query_sets: str = "tv16.avs.txt"
+    predict_result_file: str = "result_log/result_test.txt"
+    batch_size: int = 1024
+    num_workers: int = 0
+    device: str = "0"
+    task3_caption: str = "no_task3_caption"
+
+
+def _topk_rankings(scores: np.ndarray, k: int):
+    """Per-row descending top-k (indices, values) on device."""
+    k = min(k, scores.shape[1])
+    vals, idx = jax.lax.top_k(jnp.asarray(scores), k)
+    return np.asarray(idx), np.asarray(vals)
+
+
+def write_rank_dump(
+    path: Optional[str],
+    scores: np.ndarray,
+    txt_ids: List[str],
+    vis_ids: List[str],
+    pkl_path: Optional[str] = None,
+    captions: Optional[Dict[str, str]] = None,
+    threshold: int = 2000,
+):
+    """Reference ``txt2video_write_to_file`` (``predictor.py:53-88``):
+    per-query ranked '<vis_id> <score>' lines (top-K when the gallery is
+    large) and/or a pickled {txt_id: {query, rank_list, sim_value}} dict."""
+    topk = threshold if len(vis_ids) >= threshold else len(vis_ids)
+    idx, vals = _topk_rankings(scores, topk)
+    vis_arr = np.asarray(vis_ids)
+
+    if path is not None:
+        with open(path, "w") as fout:
+            for q in range(idx.shape[0]):
+                ranked = " ".join(
+                    f"{vis_arr[i]} {v}" for i, v in zip(idx[q], vals[q])
+                )
+                fout.write(f"{txt_ids[q]} {ranked}\n")
+
+    if pkl_path is not None:
+        shot_dict = {}
+        for q, tid in enumerate(txt_ids):
+            shot_dict[tid] = {
+                "query": captions.get(tid, "") if captions else "",
+                "rank_list": [str(vis_arr[i]) for i in idx[q]],
+                "sim_value": [float(v) for v in vals[q]],
+            }
+        with open(pkl_path, "wb") as fh:
+            pickle.dump(shot_dict, fh)
+
+
+def append_result_row(path: str, model_tag: str, parm_adjust: str, result_tuple):
+    """Reference TSV row format (``predictor.py:91-126``)."""
+    makedirs(os.path.dirname(path) or ".")
+    r1, r5, r10, medr, meanr, mir, mAP = result_tuple
+    with open(path, "a") as fh:
+        fh.write(time.asctime(time.localtime(time.time())) + "\t")
+        for each in [model_tag, round(r1, 3), round(r5, 3), round(r10, 3),
+                     round(medr, 3), round(meanr, 3), round(mir, 3),
+                     round(mAP, 3)]:
+            fh.write(str(each) + "\t")
+        fh.write(parm_adjust.replace("_", "\t"))
+        fh.write("\n")
+
+
+def v2t_metrics(scores: np.ndarray, txt_ids: List[str], vis_ids: List[str]):
+    """Video->text metrics over the transposed matrix (reference
+    ``predictor.py:261-276``)."""
+    from ..eval.metrics import eval_v2t
+
+    return eval_v2t(scores, txt_ids, vis_ids)
+
+
+def rebuild_model(ckpt: Dict):
+    """Model + eval variables from a checkpoint payload."""
+    spec = ckpt["spec"]
+    model = LAFFModel(spec)
+    variables = {"params": ckpt["params"]}
+    if ckpt.get("batch_stats"):
+        variables["batch_stats"] = ckpt["batch_stats"]
+    if ckpt.get("schedule"):
+        variables["schedule"] = ckpt["schedule"]
+    return model, variables, spec
+
+
+def build_test_feeds(opt: PredictOptions, config, query_set: str, featurizers):
+    """Vision + text feeds for a test collection / query set."""
+    from ..data import TextBatcher, TextSource, VisBatcher, VisionSource, read_video_set
+    from ..store import BigFile
+    from .prepare import _text_precomputed
+
+    rootpath = opt.rootpath
+    coll = opt.testCollection
+    vis_files = {
+        n: BigFile(os.path.join(rootpath, coll, "FeatureData", n))
+        for n in config.vid_feats
+    }
+    frame_files = None
+    if config.frame_feat_input:
+        frame_files = {
+            n: BigFile(os.path.join(rootpath, coll, "FeatureData", "frame", n))
+            for n in config.vid_frame_feats
+        }
+    vis_ids = read_video_set(
+        os.path.join(rootpath, coll, "VideoSets", coll + ".txt")
+    )
+    vsrc = VisionSource(vis_files, vis_ids, frame_feat_files=frame_files,
+                        max_frame=config.max_frame)
+    vis_feed = EvalFeed(
+        vis_ids, VisBatcher(vsrc, with_frames=config.frame_feat_input),
+        batch_size=opt.batch_size,
+    )
+
+    capfile = os.path.join(rootpath, coll, "TextData", query_set)
+    tsrc = TextSource(capfile, precomputed=_text_precomputed(config, capfile))
+    active = {k: v for k, v in featurizers.items()}
+    tb = TextBatcher(tsrc, active, max_txtlength=config.max_txtlength)
+    txt_feed = EvalFeed(tsrc.cap_ids, tb, batch_size=opt.batch_size)
+    return vis_feed, txt_feed, tsrc, vis_ids
+
+
+def rebuild_featurizers(ckpt: Dict, rootpath: str):
+    """Re-instantiate the text featurizer bank for inference from the
+    pickled config + vocab objects stored in the checkpoint."""
+    from .prepare import build_featurizers
+
+    config = ckpt["config"]
+    opt_dict = ckpt.get("opt", {})
+    train_collection = opt_dict.get("trainCollection", "")
+    train_capfile = os.path.join(
+        rootpath, train_collection, "TextData", f"{train_collection}.caption.txt"
+    )
+    featurizers, txt_dims, gru_spec, gru_vocab, we = build_featurizers(
+        config, rootpath, train_collection, train_capfile
+    )
+    return featurizers
+
+
+def main(opt: PredictOptions) -> Dict:
+    ckpt = load_checkpoint(opt.model_path)
+    config = ckpt["config"]
+    model, variables, spec = rebuild_model(ckpt)
+    embedder = Embedder(model, variables)
+    featurizers = rebuild_featurizers(ckpt, opt.rootpath)
+    parm_adjust = str(ckpt.get("opt", {}).get("parm_adjust_config", "None"))
+
+    rootpath = opt.rootpath
+    coll = opt.testCollection
+    results = {}
+    vis_embs = None
+
+    for query_set in opt.query_sets.split(","):
+        output_dir = os.path.join(rootpath, coll, "SimilarityIndex", query_set,
+                                  opt.sim_name)
+        pred_result_file = os.path.join(output_dir, "id.sent.score.txt")
+        if check_to_skip(pred_result_file, opt.overwrite):
+            continue
+        makedirs(output_dir)
+
+        vis_feed, txt_feed, tsrc, vis_ids = build_test_feeds(
+            opt, config, query_set, featurizers
+        )
+        if vis_embs is None:  # cache across query sets (record_emb parity)
+            vis_embs, vis_ids = embedder.embed_vis(vis_feed)
+        txt_embs, txt_ids = embedder.embed_txt(txt_feed)
+        scores = score_matrix(txt_embs, vis_embs)
+
+        if coll not in AVS_COLLECTIONS and query_set != "simple_query.txt":
+            ranks = t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids)
+            t2v = metrics_from_ranks(ranks)
+            result_dir = os.path.dirname(opt.predict_result_file)
+            result_name = os.path.basename(opt.predict_result_file)
+            append_result_row(
+                os.path.join(result_dir, "TextToVideo", result_name),
+                opt.model_path + "\t" + coll, parm_adjust, t2v,
+            )
+            write_rank_dump(
+                None, scores, txt_ids, vis_ids,
+                pkl_path=os.path.join(output_dir, "t2v.pkl"),
+                captions=tsrc.captions, threshold=500,
+            )
+            v2t = v2t_metrics(scores, txt_ids, vis_ids)
+            append_result_row(
+                os.path.join(result_dir, "VideoToText", result_name),
+                opt.model_path + "\t" + coll, parm_adjust, v2t,
+            )
+            results[query_set] = {"t2v": t2v, "v2t": v2t}
+            logger.info(
+                "%s t2v r1=%.2f r5=%.2f r10=%.2f medr=%.0f mir=%.4f",
+                query_set, t2v[0], t2v[1], t2v[2], t2v[3], t2v[5],
+            )
+        else:
+            write_rank_dump(
+                None, scores, txt_ids, vis_ids,
+                pkl_path=os.path.join(output_dir, "t2v.pkl"),
+                captions=tsrc.captions, threshold=500,
+            )
+            write_rank_dump(pred_result_file, scores, txt_ids, vis_ids)
+            logger.info("wrote %s", pred_result_file)
+            results[query_set] = {"score_file": pred_result_file}
+
+    return results

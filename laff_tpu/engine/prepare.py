@@ -1,0 +1,495 @@
+"""Experiment preparation: CLI options + config -> sources, featurizers,
+model spec, feeds.
+
+Functional parity with reference ``trainer.prepare_config``
+(``trainer.py:53-294``): same collection/vocab/feature directory layout,
+same config mutation points (feature dims written into
+``config.vis_fc_layers[0]``), same model-path scheme. Differences:
+
+* Vocabularies are auto-built from the train captions when the pickled
+  vocab file is missing (the reference hard-fails).
+* Text featurizers are handed to the data feed (host pipeline), never to
+  the model.
+* The output is an immutable LAFFSpec for the flax model builders.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..data import PairFeed, TextBatcher, TextSource, VisBatcher, VisionSource, read_video_set
+from ..models.spec import AttentionSpec, GruSpec, LAFFSpec, TowerSpec, TransformSpec
+from ..store import BigFile
+from ..text import build_vocab, get_txt2vec
+from ..text.txt2vec import IndexVec, load_vocab_pickle
+from ..text.vocab import save_vocab
+from ..utils import ROOT_PATH, get_logger, makedirs
+
+logger = get_logger(__name__)
+
+# reference encoder-module names (state-dict keys) -> our feature keys
+_ENCODER_ALIASES = {
+    "rnn_encoder": "rnn",
+    "bert_encoder": "bert",
+    "bow_encoder": "bow",
+    "w2v_encoder": "w2v",
+    "CLIP_encoder": "clip",
+    "NetVLAD_encoder": "netvlad",
+}
+
+
+@dataclasses.dataclass
+class Options:
+    """CLI options (mirrors reference ``do_trainer.parse_args``)."""
+
+    trainCollection: str = "msrvtt10ktrain"
+    valCollection: str = "msrvtt10kval"
+    rootpath: str = ROOT_PATH
+    trainCollection2: str = "None"
+    task2_caption: str = "no_task2_caption"
+    task3_caption: str = "no_task3_caption"
+    train_strategy: str = "usual"
+    overwrite: int = 0
+    val_set: str = "setA"
+    metric: str = "mir"
+    num_epochs: int = 80
+    batch_size: int = 128
+    workers: int = 2
+    model_prefix: str = "runs_0"
+    config_name: str = "laff"
+    parm_adjust_config: str = "None"
+    device: str = "0"
+    random_seed: int = 2
+    local_rank: int = 0
+    pretrained_file_path: str = "None"
+    save_mean_last: int = 0
+
+
+def load_config(config_name: str):
+    """Import ``laff_tpu.configs.<name>`` (or a root-level ``configs.<name>``
+    for user-supplied experiment files) and instantiate its config class."""
+    import importlib
+
+    for module_path in (f"laff_tpu.configs.{config_name}", f"configs.{config_name}"):
+        try:
+            module = importlib.import_module(module_path)
+            return module.config()
+        except ModuleNotFoundError as e:
+            last = e
+    raise last
+
+
+class _NoEncoder:
+    ndims = 0
+
+
+def model_dir_for(opt) -> str:
+    """<root>/<train>/w2vvpp_train/<val>/<val_set>/<config>/<prefix>
+    (reference ``trainer.py:88-92``)."""
+    val_set = "" if opt.val_set == "no" else opt.val_set
+    train = opt.trainCollection
+    if getattr(opt, "trainCollection2", "None") != "None":
+        train = train + "_" + opt.trainCollection2
+    return os.path.join(
+        opt.rootpath, train, "w2vvpp_train", opt.valCollection, val_set,
+        opt.config_name, opt.model_prefix,
+    )
+
+
+def get_we(vocab, w2v_dir: str) -> np.ndarray:
+    """Word-embedding init matrix: uniform(-1,1) overwritten with w2v rows
+    where available (reference ``model/model.py:30-48``)."""
+    w2v = BigFile(w2v_dir)
+    nr_words = len(vocab)
+    words = [vocab[i] for i in range(nr_words)]
+    we = np.random.uniform(low=-1.0, high=1.0, size=(nr_words, w2v.ndims))
+    renamed, vecs = w2v.gather(words)
+    for name, vec in zip(renamed, vecs):
+        we[vocab.find(name)] = vec
+    return we.astype(np.float32)
+
+
+def _vocab_path(rootpath, collection, encoding, threshold):
+    return os.path.join(
+        rootpath, collection, "TextData", "vocab", f"{encoding}_{threshold}.pkl"
+    )
+
+
+def _ensure_vocab(rootpath, collection, encoding, threshold, capfile):
+    path = _vocab_path(rootpath, collection, encoding, threshold)
+    if os.path.exists(path):
+        return load_vocab_pickle(path)
+    logger.info("vocab %s missing; building from %s", path, capfile)
+    vocab, _ = build_vocab(capfile, encoding, threshold=threshold)
+    save_vocab(vocab, path)
+    return vocab
+
+
+def _attn_spec(config, kind: str) -> AttentionSpec:
+    aph = config.attention_param_each_head
+    mha = config.multi_head_attention
+    return AttentionSpec(
+        kind=kind,
+        heads=mha["heads"],
+        with_ave=aph["with_ave"],
+        mul=aph["mul"],
+        split_head=aph["split_head"],
+        l2norm_each_head=config.attention_l2norm,
+        dropout=mha["dropout"],
+        output_type=config.my_self_attention_output_type,
+        agg=config.muti_head_attention_official["agg"],
+        embed_dim_qkv=mha["embed_dim_qkv"],
+    )
+
+
+def _no_transform_keys(names) -> Tuple[str, ...]:
+    return tuple(_ENCODER_ALIASES.get(n, n) for n in names)
+
+
+def build_spec(
+    config,
+    vis_dims: Dict[str, int],
+    txt_dims: Dict[str, int],
+    gru_spec: Optional[GruSpec],
+    frame_dims: Optional[Dict[str, int]] = None,
+) -> LAFFSpec:
+    """config + discovered feature dims -> frozen LAFFSpec."""
+    if isinstance(config.txt_fc_layers, str):
+        txt_common = int(config.txt_fc_layers.split("-")[1])
+    else:
+        txt_common = int(config.txt_fc_layers[1])
+    vis_common = int(config.vis_fc_layers[1])
+
+    # per-encoder transform overrides (bert/clip options; no_transform)
+    overrides: List[Tuple[str, TransformSpec]] = []
+    txt_nt = _no_transform_keys(config.txt_no_transform)
+    if "bert" in txt_dims:
+        overrides.append((
+            "bert",
+            TransformSpec(
+                dim_in=txt_dims["bert"], dim_out=txt_common, fc=True,
+                activation=config.bert_transform_activation,
+                dropout=config.bert_transform_dropout,
+                batch_norm=config.bert_transform_batch_norm,
+            ),
+        ))
+    if "clip" in txt_dims:
+        co = config.clip_opt
+        if "clip" in txt_nt:
+            overrides.append((
+                "clip",
+                TransformSpec(
+                    dim_in=txt_dims["clip"], dim_out=txt_common, fc=False,
+                    activation=None, dropout=co["transform_dropout"],
+                    batch_norm=co["transform_batch_norm"],
+                ),
+            ))
+        else:
+            overrides.append((
+                "clip",
+                TransformSpec(
+                    dim_in=txt_dims["clip"], dim_out=txt_common, fc=True,
+                    activation=co["transform_activation"],
+                    dropout=co["transform_dropout"],
+                    batch_norm=co["transform_batch_norm"],
+                ),
+            ))
+
+    txt = TowerSpec(
+        features=tuple(txt_dims.items()),
+        common_dim=txt_common,
+        attention=_attn_spec(config, config.txt_attention),
+        no_transform=txt_nt,
+        transform_overrides=tuple(overrides),
+        expert_embedding=config.txt_expert_embedding["expert"],
+        expert_l2norm=config.txt_expert_embedding["l2norm"],
+        dropout=config.dropout,
+        batch_norm=config.batch_norm,
+        activation=config.activation,
+        gru=gru_spec,
+    )
+
+    vis_nt = _no_transform_keys(config.vis_no_transform)
+    frame_dims = frame_dims or {}
+    vis = TowerSpec(
+        features=tuple(vis_dims.items()),
+        common_dim=vis_common,
+        attention=_attn_spec(config, config.vis_attention),
+        no_transform=vis_nt,
+        expert_embedding=config.vis_expert_embedding["expert"],
+        expert_l2norm=config.vis_expert_embedding["l2norm"],
+        dropout=config.dropout,
+        batch_norm=config.batch_norm,
+        activation=config.activation,
+        frame_features=tuple(frame_dims.items()),
+        frame_attention=(
+            _attn_spec(config, config.vis_frame_attention) if frame_dims else None
+        ),
+        frame_add_fc=config.vis_frame_addFC,
+        frame_feat_with_video_feat=config.frame_feat_with_video_feat,
+        feat_add_concat=config.vis_feat_add_concat,
+    )
+
+    return LAFFSpec(
+        txt=txt,
+        vis=vis,
+        multi_space=config.multi_space,
+        measure=config.measure,
+        margin=config.margin,
+        direction=config.direction,
+        max_violation=config.max_violation,
+        cost_style=config.cost_style,
+        loss=config.loss,
+    )
+
+
+@dataclasses.dataclass
+class Prepared:
+    opt: Options
+    config: object
+    spec: LAFFSpec
+    model_path: str
+    train_feed: PairFeed
+    val_txt_source: TextSource
+    val_txt_batcher: TextBatcher
+    val_vis_batcher: VisBatcher
+    val_vis_ids: List[str]
+    featurizers: Dict
+    gru_vocab: Optional[object]
+    we: Optional[np.ndarray]
+    train2_feed: Optional[PairFeed] = None
+
+
+def _collection_paths(rootpath, collection, val_set=""):
+    cdir = os.path.join(rootpath, collection)
+    capfile = os.path.join(cdir, "TextData", val_set, f"{collection}.caption.txt")
+    return cdir, capfile
+
+
+def _open_vis_files(rootpath, collection, feat_names) -> Dict[str, BigFile]:
+    return {
+        name: BigFile(os.path.join(rootpath, collection, "FeatureData", name))
+        for name in feat_names
+    }
+
+
+def _open_frame_files(rootpath, collection, names) -> Dict[str, BigFile]:
+    return {
+        name: BigFile(os.path.join(rootpath, collection, "FeatureData", "frame", name))
+        for name in names
+    }
+
+
+def _text_precomputed(config, capfile) -> Dict[str, BigFile]:
+    """Precomputed text-feature BigFiles next to the caption file
+    (reference ``data_provider.py:565-574``)."""
+    out = {}
+    tdir = os.path.dirname(capfile)
+    for enc_name, enc in config.text_encoding.items():
+        if enc["name"].startswith(("no", "No")):
+            continue
+        if enc_name in ("CLIP_encoding", "bert_encoding") and "dir_name" in enc:
+            path = os.path.join(tdir, enc["dir_name"])
+            if os.path.exists(path):
+                out[enc_name] = BigFile(path)
+    return out
+
+
+def build_featurizers(config, rootpath, vocab_collection, train_capfile):
+    """Text featurizer bank for the feed + the txt-tower feature dims."""
+    txt_dims: Dict[str, int] = {}
+    featurizers: Dict[str, object] = {}
+    gru_spec = None
+    gru_vocab = None
+    we = None
+
+    te = config.text_encoding
+    rnn_encoding, pooling = te["rnn_encoding"]["name"].split("_", 1)
+
+    w2v_dir = os.path.join(rootpath, "word2vec", "flickr", "vec500flickr30m")
+    if not os.path.exists(w2v_dir):
+        alt = getattr(config, "w2v_dir", None)
+        if alt and os.path.exists(os.path.join(rootpath, alt)):
+            w2v_dir = os.path.join(rootpath, alt)
+
+    # order matters: rnn, bert, bow, w2v, clip, netvlad (reference
+    # model/model.py:558-620 insertion order)
+    if rnn_encoding in ("gru", "bigru"):
+        gru_vocab = _ensure_vocab(
+            rootpath, vocab_collection, "gru", config.threshold, train_capfile
+        )
+        featurizers["rnn"] = IndexVec(gru_vocab)
+        rnn_out = config.rnn_size * (2 if rnn_encoding == "bigru" else 1)
+        txt_dims["rnn"] = rnn_out
+        # w2v-initialize the embedding table when dims line up (the
+        # reference gates this on we_dim==500, the w2v dump's width)
+        if os.path.exists(w2v_dir) and BigFile(w2v_dir).ndims == config.we_dim:
+            we = get_we(gru_vocab, w2v_dir)
+            we_dim = we.shape[1]
+        else:
+            we_dim = config.we_dim
+        gru_spec = GruSpec(
+            vocab_size=len(gru_vocab),
+            we_dim=we_dim,
+            rnn_size=config.rnn_size,
+            rnn_layer=config.rnn_layer,
+            pooling=pooling,
+            bidirectional=(rnn_encoding == "bigru"),
+        )
+
+    if "no" not in te["bert_encoding"]["name"]:
+        txt_dims["bert"] = config.bert_size
+        featurizers["bert"] = None  # precomputed only (live tower: roadmap)
+
+    bow_encoding = te["bow_encoding"]["name"]
+    if "no" not in bow_encoding:
+        bow_vocab = _ensure_vocab(
+            rootpath, vocab_collection, bow_encoding, config.threshold, train_capfile
+        )
+        bow = get_txt2vec(bow_encoding)(bow_vocab, norm=config.bow_norm)
+        featurizers["bow"] = bow
+        txt_dims["bow"] = bow.ndims
+
+    w2v_encoding = te["w2v_encoding"]["name"]
+    if "no" not in w2v_encoding:
+        w2v = get_txt2vec(w2v_encoding)(w2v_dir)
+        featurizers["w2v"] = w2v
+        txt_dims["w2v"] = w2v.ndims
+
+    if "no" not in te["CLIP_encoding"]["name"]:
+        txt_dims["clip"] = config.clip_opt["size"]
+        featurizers["clip"] = None  # precomputed via TextSource
+
+    if "no" not in te["NetVLAD_encoding"]["name"]:
+        w2v = get_txt2vec("w2v_nsw")(w2v_dir)
+        featurizers["netvlad"] = w2v
+        txt_dims["netvlad"] = w2v.ndims * config.NetVLAD_opt["num_clusters"]
+
+    return featurizers, txt_dims, gru_spec, gru_vocab, we
+
+
+def _make_text_batcher(config, featurizers, source) -> TextBatcher:
+    active = {
+        k: v for k, v in featurizers.items() if v is not None or k in ("clip", "bert")
+    }
+    return TextBatcher(source, active, max_txtlength=config.max_txtlength)
+
+
+def prepare(opt: Options) -> Prepared:
+    np.random.seed(opt.random_seed)
+    opt.rootpath = os.path.expanduser(opt.rootpath)
+    rootpath = opt.rootpath
+    val_set = "" if opt.val_set == "no" else opt.val_set
+
+    config = load_config(opt.config_name)
+    if opt.parm_adjust_config != "None":
+        config.adjust_parm(opt.parm_adjust_config)
+
+    model_path = model_dir_for(opt)
+    makedirs(model_path)
+
+    _, train_capfile = _collection_paths(rootpath, opt.trainCollection)
+    _, val_capfile = _collection_paths(rootpath, opt.valCollection, val_set)
+
+    # visual features + dims -> config (reference trainer.py:126-157)
+    train_vis = _open_vis_files(rootpath, opt.trainCollection, config.vid_feats)
+    val_vis = _open_vis_files(rootpath, opt.valCollection, config.vid_feats)
+    config.vis_fc_layers[0] = {n: f.ndims for n, f in train_vis.items()}
+    vis_dims = dict(config.vis_fc_layers[0])
+    if config.vis_feat_add_concat:
+        config.vis_fc_layers[0]["vis_feat_add_concat"] = int(
+            np.sum(list(vis_dims.values()))
+        )
+
+    frame_dims = {}
+    train_frames = val_frames = None
+    if config.frame_feat_input:
+        train_frames = _open_frame_files(rootpath, opt.trainCollection, config.vid_frame_feats)
+        val_frames = _open_frame_files(rootpath, opt.valCollection, config.vid_frame_feats)
+        frame_dims = {n: f.ndims for n, f in train_frames.items()}
+        config.vis_fc_layers[0].update(frame_dims)
+
+    vocab_collection = opt.trainCollection
+    if getattr(opt, "trainCollection2", "None") != "None":
+        vocab_collection = opt.trainCollection + "_" + opt.trainCollection2
+
+    featurizers, txt_dims, gru_spec, gru_vocab, we = build_featurizers(
+        config, rootpath, vocab_collection, train_capfile
+    )
+    if isinstance(config.txt_fc_layers, str):
+        config.txt_fc_layers = [0, int(config.txt_fc_layers.split("-")[1])]
+    config.txt_fc_layers[0] = int(np.sum(list(txt_dims.values())))
+
+    spec = build_spec(config, vis_dims, txt_dims, gru_spec, frame_dims)
+
+    # feeds
+    train_ids = read_video_set(
+        os.path.join(rootpath, opt.trainCollection, "VideoSets", opt.trainCollection + ".txt")
+    )
+    train_tsource = TextSource(
+        train_capfile, precomputed=_text_precomputed(config, train_capfile)
+    )
+    train_vsource = VisionSource(
+        train_vis, train_ids, frame_feat_files=train_frames, max_frame=config.max_frame
+    )
+    train_feed = PairFeed(
+        _make_text_batcher(config, featurizers, train_tsource),
+        VisBatcher(train_vsource, with_frames=config.frame_feat_input),
+        batch_size=opt.batch_size,
+        seed=opt.random_seed,
+    )
+
+    val_ids = read_video_set(
+        os.path.join(rootpath, opt.valCollection, "VideoSets", opt.valCollection + ".txt")
+    )
+    val_tsource = TextSource(
+        val_capfile, precomputed=_text_precomputed(config, val_capfile)
+    )
+    val_vsource = VisionSource(
+        val_vis, val_ids, frame_feat_files=val_frames, max_frame=config.max_frame
+    )
+
+    train2_feed = None
+    if getattr(opt, "trainCollection2", "None") != "None":
+        t2_vis = _open_vis_files(rootpath, opt.trainCollection2, config.vid_feats)
+        t2_frames = (
+            _open_frame_files(rootpath, opt.trainCollection2, config.vid_frame_feats)
+            if config.frame_feat_input else None
+        )
+        _, t2_capfile = _collection_paths(rootpath, opt.trainCollection2)
+        t2_ids = read_video_set(
+            os.path.join(rootpath, opt.trainCollection2, "VideoSets",
+                         opt.trainCollection2 + ".txt")
+        )
+        t2_tsource = TextSource(
+            t2_capfile, precomputed=_text_precomputed(config, t2_capfile)
+        )
+        t2_vsource = VisionSource(
+            t2_vis, t2_ids, frame_feat_files=t2_frames, max_frame=config.max_frame
+        )
+        train2_feed = PairFeed(
+            _make_text_batcher(config, featurizers, t2_tsource),
+            VisBatcher(t2_vsource, with_frames=config.frame_feat_input),
+            batch_size=opt.batch_size,
+            seed=opt.random_seed + 1,
+        )
+
+    return Prepared(
+        opt=opt,
+        config=config,
+        spec=spec,
+        model_path=model_path,
+        train_feed=train_feed,
+        val_txt_source=val_tsource,
+        val_txt_batcher=_make_text_batcher(config, featurizers, val_tsource),
+        val_vis_batcher=VisBatcher(val_vsource, with_frames=config.frame_feat_input),
+        val_vis_ids=val_ids,
+        featurizers=featurizers,
+        gru_vocab=gru_vocab,
+        we=we,
+        train2_feed=train2_feed,
+    )

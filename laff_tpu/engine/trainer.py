@@ -1,0 +1,397 @@
+"""Training driver: optax optimizer, jitted train step, epoch loop.
+
+Functional parity with reference ``trainer.py:315-645`` (epoch loop,
+annealed attention residual, LR schedules, best/mean-last checkpointing,
+early stop) re-designed for TPU:
+
+* One jitted train step = full forward + loss + backward + update; the
+  whole thing compiles once (static batch shape) and runs from HBM.
+* The model owns nothing: params/batch_stats/schedule/opt_state live in a
+  TrainState pytree; the optimizer is an optax chain (global-norm clip +
+  adam(eps=1e-4) / rmsprop, matching reference model-owned optimizers at
+  ``model/model.py:2010-2028``).
+* LR control (StepLR gamma^epoch x ReduceLROnPlateau 0.5/patience-2) is a
+  host-side controller that writes the scalar into the injected
+  hyperparams — no recompilation.
+* Data-parallel scaling: pass a ``jax.sharding.Mesh``; batches are sharded
+  over the 'dp' axis and GSPMD inserts the gradient/batch-stat collectives
+  (the reference has no distributed runtime at all — SURVEY.md section 2.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+from functools import partial
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import EvalFeed, Prefetcher
+from ..models import LAFFModel
+from ..ops import (
+    cross_entropy_loss,
+    dual_softmax_loss,
+    triplet_loss,
+    triplet_loss_multi_space,
+)
+from ..parallel import shard_batch
+from ..utils import AverageMeter, Progress, get_logger
+from .checkpoint import average_states, save_checkpoint, save_checkpoint_dance
+from .evaluator import Embedder, validate
+from .prepare import Prepared
+
+logger = get_logger(__name__)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    schedule: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(config):
+    def build(learning_rate):
+        chain = []
+        if config.grad_clip and config.grad_clip > 0:
+            chain.append(optax.clip_by_global_norm(config.grad_clip))
+        if config.optimizer == "adam":
+            chain.append(optax.adam(learning_rate, eps=1e-4))
+        elif config.optimizer == "rmsprop":
+            chain.append(optax.rmsprop(learning_rate))
+        else:
+            raise ValueError(f"optimizer {config.optimizer}")
+        return optax.chain(*chain)
+
+    return optax.inject_hyperparams(build)(learning_rate=config.lr)
+
+
+class LRController:
+    """StepLR(gamma, per-epoch) x ReduceLROnPlateau(max, 0.5, patience=2)
+    (reference ``model/model.py:2026-2028`` + ``lr_step``)."""
+
+    def __init__(self, base_lr: float, gamma: float, plateau_factor: float = 0.5,
+                 patience: int = 2):
+        self.base_lr = base_lr
+        self.gamma = gamma
+        self.plateau_factor = plateau_factor
+        self.patience = patience
+        self.plateau_scale = 1.0
+        self.best = -float("inf")
+        self.bad_epochs = 0
+        self.epoch = 0
+
+    def current(self) -> float:
+        return self.base_lr * (self.gamma ** self.epoch) * self.plateau_scale
+
+    def step(self, val_metric: float) -> float:
+        self.epoch += 1
+        if val_metric > self.best:
+            self.best = val_metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.plateau_scale *= self.plateau_factor
+                self.bad_epochs = 0
+        return self.current()
+
+
+def make_loss_fn(spec):
+    kwargs = dict(
+        margin=spec.margin,
+        measure=spec.measure,
+        direction=spec.direction,
+        max_violation=spec.max_violation,
+        cost_style=spec.cost_style,
+    )
+
+    def loss_fn(txt_embs, vis_embs):
+        if spec.loss == "dsl":
+            return dual_softmax_loss(txt_embs, vis_embs)
+        if spec.loss == "CELoss":
+            return cross_entropy_loss(txt_embs, vis_embs)
+        if txt_embs.ndim == 3 and spec.multi_space:
+            return triplet_loss_multi_space(txt_embs, vis_embs, **kwargs)
+        if txt_embs.ndim == 3:
+            # single-space over multi-head embs: mean sim over heads
+            from ..ops import multi_head_cosine_sim, triplet_loss_from_scores
+
+            scores = multi_head_cosine_sim(vis_embs, txt_embs)
+            return triplet_loss_from_scores(
+                scores, spec.margin, spec.direction, spec.max_violation,
+                spec.cost_style,
+            )
+        return triplet_loss(txt_embs, vis_embs, **kwargs)
+
+    return loss_fn
+
+
+def make_train_step(model: LAFFModel, tx, spec):
+    loss_fn = make_loss_fn(spec)
+
+    @jax.jit
+    def train_step(state: TrainState, txt_batch, vis_batch, rng):
+        def compute(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            if state.schedule:
+                variables["schedule"] = state.schedule
+            out, updates = model.apply(
+                variables, txt_batch, vis_batch, train=True,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"] if state.batch_stats else [],
+            )
+            txt_embs, vis_embs = out
+            loss = loss_fn(txt_embs, vis_embs)
+            return loss, updates.get("batch_stats", state.batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, loss
+
+    return train_step
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    opt_state = state.opt_state
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return state.replace(opt_state=opt_state)
+
+
+def anneal_schedule(state: TrainState, decay_rate: float) -> TrainState:
+    """Linear decay of every mean-pool residual weight (reference
+    ``change_raw_global_emb_weight``: w += decay_rate - 1, clamped at 0)."""
+    if not state.schedule:
+        return state
+    new_sched = jax.tree_util.tree_map(
+        lambda w: jnp.maximum(w + decay_rate - 1.0, 0.0), state.schedule
+    )
+    return state.replace(schedule=new_sched)
+
+
+def init_state(model, spec, prepared: Prepared, tx, seed: int = 2) -> TrainState:
+    sample = next(iter(prepared.train_feed.epoch(0)))
+    txt = {k: jnp.asarray(v[:2]) for k, v in sample["txt"].items()}
+    vis = {k: jnp.asarray(v[:2]) for k, v in sample["vis"].items()}
+    variables = model.init(
+        {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
+        txt, vis,
+    )
+    params = variables["params"]
+    if prepared.we is not None and "gru" in params.get("txt_net", {}):
+        # word2vec-initialized embedding table (reference model.py:334-336)
+        params = flax.core.unfreeze(params)
+        params["txt_net"]["gru"]["we"] = jnp.asarray(prepared.we)
+        params = flax.core.freeze(params) if isinstance(variables["params"], flax.core.FrozenDict) else params
+    return TrainState(
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        schedule=variables.get("schedule", {}),
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+class ScalarLogger:
+    """TSV scalar log (always) + TensorBoard when available."""
+
+    def __init__(self, logdir: str):
+        self.path = os.path.join(logdir, "scalars.tsv")
+        self._fh = open(self.path, "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir=logdir, flush_secs=5)
+        except Exception:
+            pass
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        self._fh.write(f"{step}\t{tag}\t{value}\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def flush(self):
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
+                    log_every: int = 50):
+    meter = AverageMeter()
+    progress = Progress(feed.steps_per_epoch() * feed.batch_size, f"epoch {epoch}")
+    rng = jax.random.key(epoch)
+    for i, batch in enumerate(Prefetcher(feed.epoch(epoch), depth=3)):
+        txt = {k: jnp.asarray(v) for k, v in batch["txt"].items()}
+        vis = {k: jnp.asarray(v) for k, v in batch["vis"].items()}
+        if mesh is not None:
+            txt = shard_batch(txt, mesh)
+            vis = shard_batch(vis, mesh)
+        rng, step_rng = jax.random.split(rng)
+        state, loss = train_step(state, txt, vis, step_rng)
+        meter.update(float(loss))
+        progress.add(feed.batch_size)
+        if logger_ is not None and i % log_every == 0:
+            logger_.add_scalar("train/Loss", float(loss), int(state.step))
+    return state, meter.avg
+
+
+def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
+    """Full training run (reference ``trainer.main``, ``trainer.py:315-443``)."""
+    from .prepare import prepare
+
+    if prepared is None:
+        prepared = prepare(opt)
+    config = prepared.config
+    spec = prepared.spec
+    model_path = prepared.model_path
+
+    model = LAFFModel(spec)
+    tx = make_optimizer(config)
+    state = init_state(model, spec, prepared, tx, seed=opt.random_seed)
+
+    if opt.pretrained_file_path != "None":
+        from .checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(opt.pretrained_file_path)
+        state = state.replace(
+            params=ckpt["params"],
+            batch_stats=ckpt.get("batch_stats") or state.batch_stats,
+            schedule=ckpt.get("schedule") or state.schedule,
+        )
+        logger.info("warm-started from %s (epoch %s)", opt.pretrained_file_path,
+                    ckpt.get("epoch"))
+
+    train_step = make_train_step(model, tx, spec)
+    lr_ctl = LRController(config.lr, config.lr_decay_rate)
+    scalar_log = ScalarLogger(model_path)
+
+    val_txt_feed = EvalFeed(
+        prepared.val_txt_source.cap_ids,
+        prepared.val_txt_batcher,
+        batch_size=getattr(config, "eval_batch_size", 1024),
+    )
+    val_vis_feed = EvalFeed(
+        prepared.val_vis_ids,
+        prepared.val_vis_batcher,
+        batch_size=getattr(config, "eval_batch_size", 1024),
+    )
+
+    best_perf = 0.0
+    no_impr = 0
+    mean_last: list = []
+    hist_path = os.path.join(model_path, "val_perf_hist.txt")
+    hist = open(hist_path, "w")
+
+    def ckpt_payload(epoch):
+        return {
+            "epoch": epoch + 1,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "schedule": state.schedule,
+            "best_perf": best_perf,
+            "config": config,
+            "opt": asdict(opt) if hasattr(opt, "__dataclass_fields__") else vars(opt),
+            "spec": spec,
+        }
+
+    result = {"best_perf": 0.0, "epochs": 0}
+    for epoch in range(opt.num_epochs):
+        lr = lr_ctl.current()
+        state = set_learning_rate(state, lr)
+        state = anneal_schedule(state, config.txt_attention_global_decay_rate)
+        scalar_log.add_scalar("train/learning_rate", lr, epoch)
+        logger.info("Epoch %d/%d lr=%.6g", epoch, opt.num_epochs, lr)
+
+        t0 = time.time()
+        state, train_loss = train_one_epoch(
+            train_step, state, prepared.train_feed, epoch, mesh=mesh,
+            logger_=scalar_log,
+        )
+        if prepared.train2_feed is not None:
+            state, _ = train_one_epoch(
+                train_step, state, prepared.train2_feed, epoch, mesh=mesh,
+                logger_=scalar_log,
+            )
+        epoch_time = time.time() - t0
+
+        eval_vars = {"params": state.params}
+        if state.batch_stats:
+            eval_vars["batch_stats"] = state.batch_stats
+        if state.schedule:
+            eval_vars["schedule"] = state.schedule
+        metrics = validate(Embedder(model, eval_vars), val_txt_feed, val_vis_feed)
+        cur_perf = metrics[opt.metric]
+        for tag in ("r1", "r5", "r10", "medr", "meanr", "mir", "mAP"):
+            scalar_log.add_scalar(f"val/{tag}", metrics[tag], epoch)
+        logger.info(
+            "epoch %d: loss=%.3f r1=%.2f r5=%.2f r10=%.2f medr=%.0f mir=%.4f "
+            "(%.1fs)",
+            epoch, train_loss, metrics["r1"], metrics["r5"], metrics["r10"],
+            metrics["medr"], metrics["mir"], epoch_time,
+        )
+        hist.write("epoch_%d:\nText2Video(%s): %f\n" % (epoch, opt.metric, cur_perf))
+        hist.flush()
+
+        lr_ctl.step(cur_perf)
+        is_best = cur_perf > best_perf
+        best_perf = max(cur_perf, best_perf)
+        save_checkpoint_dance(
+            ckpt_payload(epoch), is_best, logdir=model_path,
+            filename=f"checkpoint_epoch_{epoch}.pth.tar",
+        )
+
+        if is_best:
+            no_impr = 0
+            mean_last = []
+        elif opt.save_mean_last == 1:
+            mean_last.append(jax.tree_util.tree_map(np.asarray, state.params))
+            if len(mean_last) > 1:
+                payload = ckpt_payload(epoch)
+                payload["params"] = average_states(mean_last)
+                save_checkpoint(payload, os.path.join(model_path, "mean_last10.pth.tar"))
+
+        no_impr += 1
+        if no_impr > 10 or epoch == opt.num_epochs - 1:
+            save_checkpoint_dance(
+                ckpt_payload(epoch), is_best=False, logdir=model_path,
+                filename=f"checkpoint_epoch_{epoch}.pth.tar", only_best=True,
+            )
+            logger.info("Early stopping or finished at epoch %d.", epoch)
+            result["epochs"] = epoch + 1
+            break
+
+    hist.close()
+    scalar_log.close()
+    message = "best performance on validation:\n Text to video(%s): %f" % (
+        opt.metric, best_perf,
+    )
+    logger.info(message)
+    with open(os.path.join(model_path, "val_perf.txt"), "w") as fh:
+        fh.write(message)
+    result["best_perf"] = best_perf
+    result["model_path"] = model_path
+    return result

@@ -1,0 +1,108 @@
+"""Predictor driver: train a tiny model, then run the CLI prediction flow
+over the trained checkpoint (benchmark + AVS-style output paths)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from laff_tpu.engine import Options
+from laff_tpu.engine.predictor import PredictOptions, main as predict_main
+from laff_tpu.engine.trainer import main as train_main
+
+from helpers import build_collection, build_w2v
+
+
+@pytest.fixture(scope="module")
+def trained_world(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("world"))
+    build_collection(root, "toytrain", n_videos=32, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=16, caps_per_video=1, seed=5)
+    build_collection(root, "toytest", n_videos=20, caps_per_video=2, seed=9)
+    build_w2v(root)
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=root,
+        val_set="no", config_name="tiny", num_epochs=3, batch_size=16,
+        model_prefix="run_pred", metric="mir",
+    )
+    result = train_main(opt)
+    return root, result["model_path"]
+
+
+def test_predict_benchmark_collection(trained_world):
+    root, model_path = trained_world
+    opt = PredictOptions(
+        testCollection="toytest",
+        model_path=os.path.join(model_path, "model_best.pth.tar"),
+        sim_name="run_pred",
+        rootpath=root,
+        query_sets="toytest.caption.txt",
+        predict_result_file=os.path.join(root, "result_log", "result_test.txt"),
+        batch_size=16,
+    )
+    results = predict_main(opt)
+    res = results["toytest.caption.txt"]
+    assert res["t2v"][0] > 0  # R@1 nonzero on aligned synthetic data
+
+    # TSV rows written for both directions
+    t2v_log = os.path.join(root, "result_log", "TextToVideo", "result_test.txt")
+    v2t_log = os.path.join(root, "result_log", "VideoToText", "result_test.txt")
+    assert os.path.exists(t2v_log) and os.path.exists(v2t_log)
+    row = open(t2v_log).read().strip().split("\t")
+    assert len(row) >= 9
+
+    # top-500 rank dump pickle
+    pkl = os.path.join(root, "toytest", "SimilarityIndex", "toytest.caption.txt",
+                       "run_pred", "t2v.pkl")
+    with open(pkl, "rb") as fh:
+        shot_dict = pickle.load(fh)
+    some_id = next(iter(shot_dict))
+    entry = shot_dict[some_id]
+    assert len(entry["rank_list"]) == 20  # gallery smaller than 500
+    assert entry["sim_value"] == sorted(entry["sim_value"], reverse=True)
+    assert entry["query"]  # caption text recorded
+
+
+def test_predict_avs_style_dump(trained_world, monkeypatch):
+    root, model_path = trained_world
+    import laff_tpu.engine.predictor as P
+
+    # treat toytest as an AVS collection to exercise the score-file path
+    monkeypatch.setattr(P, "AVS_COLLECTIONS", ("toytest",))
+    opt = PredictOptions(
+        testCollection="toytest",
+        model_path=os.path.join(model_path, "model_best.pth.tar"),
+        sim_name="avs_run",
+        rootpath=root,
+        query_sets="toytest.caption.txt",
+        batch_size=16,
+    )
+    results = P.main(opt)
+    score_file = results["toytest.caption.txt"]["score_file"]
+    lines = open(score_file).read().strip().split("\n")
+    assert len(lines) == 40  # 20 videos x 2 captions
+    parts = lines[0].split()
+    assert len(parts) == 1 + 2 * 20  # txt_id + (vis_id, score) pairs
+    scores = [float(s) for s in parts[2::2]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_predict_skip_guard(trained_world):
+    """overwrite=0 + existing output -> skipped (no recompute)."""
+    root, model_path = trained_world
+    opt = PredictOptions(
+        testCollection="toytest",
+        model_path=os.path.join(model_path, "model_best.pth.tar"),
+        sim_name="skip_run",
+        rootpath=root,
+        query_sets="toytest.caption.txt",
+        batch_size=16,
+    )
+    out_dir = os.path.join(root, "toytest", "SimilarityIndex",
+                           "toytest.caption.txt", "skip_run")
+    os.makedirs(out_dir, exist_ok=True)
+    open(os.path.join(out_dir, "id.sent.score.txt"), "w").write("sentinel")
+    results = predict_main(opt)
+    assert results == {}
+    assert open(os.path.join(out_dir, "id.sent.score.txt")).read() == "sentinel"
