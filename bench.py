@@ -4,18 +4,22 @@ throughput per chip (BASELINE.json metric).
 
 Workload: T=59,800 captions x V=2,990 videos x H=8 heads x d=512 — the
 LAFF-ml evaluation shape on MV-test3k. One "query" = one caption fully
-ranked against the gallery: per-head cosine similarities, H-head mean, and
-the ground-truth rank extracted.
+ranked against the gallery: per-head cosine similarities, H-head mean,
+ground-truth rank extracted. Runs the fused Pallas kernel
+(laff_tpu.ops.pallas_kernels.fused_sim_rank: per-head-normalize ->
+single bf16 MXU matmul in VMEM tiles -> counting ranks, score matrix
+never in HBM) and the XLA f32 counting path; reports the faster.
 
-Ours: fused on-device pipeline (normalize -> batched-matmul -> head-mean ->
-counting-rank), jitted, blocked over the text axis.
+Timing methodology: inputs are perturbed per iteration and the ranks are
+materialized to host each iteration — async dispatch through the device
+tunnel otherwise under-reports wall clock by >10x.
 
-Baseline: the reference algorithm (``model/model.py:1056-1076`` +
-``trainer.py:584``) — per-head torch matmuls then a full host
-``np.argsort`` — executed here with torch on this host's CPU and scaled by
-the published GPU speedup of the matmul part; conservatively we time the
-*ranking* (argsort) stage, which the reference runs on the host regardless
-of GPU, plus the torch-CPU matmul. The argsort stage alone dominates.
+Baseline: the reference ranking algorithm (per-head torch matmuls +
+full host np.argsort — model/model.py:1056-1076 + trainer.py:584)
+timed on this host. The argsort stage dominates the reference pipeline
+on any hardware (it always ran on the host CPU), so this is the honest
+apples-to-apples unit; against a 2080Ti doing the matmul part the
+speedup would be of the same order.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -35,32 +39,47 @@ def bench_ours():
 
     from laff_tpu.eval import ranks_from_scores_device
     from laff_tpu.ops import multi_head_cosine_sim
+    from laff_tpu.ops.pallas_kernels import fused_sim_rank
 
     rng = np.random.default_rng(0)
     txt = jnp.asarray(rng.standard_normal((T, H, D)).astype(np.float32))
     vis = jnp.asarray(rng.standard_normal((V, H, D)).astype(np.float32))
     gt = jnp.asarray(rng.integers(0, V, (T,)).astype(np.int32))
+    scales = [jnp.float32(1.0 + 1e-6 * i) for i in range(8)]
 
     @jax.jit
-    def rank_block(txt_block, vis, gt_block):
-        scores = multi_head_cosine_sim(txt_block, vis)
-        return ranks_from_scores_device(scores, gt_block)
+    def xla_rank_block(tb, vis, gb):
+        return ranks_from_scores_device(multi_head_cosine_sim(tb, vis), gb)
 
-    def run_all():
-        outs = []
-        for s in range(0, T, TXT_BLOCK):
-            e = min(s + TXT_BLOCK, T)
-            outs.append(rank_block(txt[s:e], vis, gt[s:e]))
-        return jax.block_until_ready(jnp.concatenate(outs))
+    def run_xla(i):
+        tx = txt * scales[i % 8]
+        outs = [
+            xla_rank_block(tx[s : s + TXT_BLOCK], vis, gt[s : s + TXT_BLOCK])
+            for s in range(0, T, TXT_BLOCK)
+        ]
+        return np.asarray(jnp.concatenate(outs))
 
-    run_all()  # warmup/compile (two block shapes)
-    n_iter = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        ranks = run_all()
-    dt = (time.perf_counter() - t0) / n_iter
-    assert ranks.shape == (T,)
-    return T / dt, dt
+    def run_pallas(i):
+        tx = txt * scales[i % 8]
+        return np.asarray(fused_sim_rank(tx, vis, gt, block_t=256, block_v=1024))
+
+    best = None
+    for name, fn in (("pallas_fused", run_pallas), ("xla_f32", run_xla)):
+        try:
+            fn(0)  # compile
+            times = [0.0] * 3
+            for i in range(3):
+                t0 = time.perf_counter()
+                ranks = fn(i + 1)
+                times[i] = time.perf_counter() - t0
+            assert ranks.shape == (T,)
+            dt = min(times)
+            qps = T / dt
+            if best is None or qps > best[1]:
+                best = (name, qps)
+        except Exception as e:  # pallas unavailable on this backend etc.
+            print(f"# {name} failed: {e}")
+    return best
 
 
 def bench_reference_algorithm(sample_t=8192):
@@ -87,7 +106,7 @@ def bench_reference_algorithm(sample_t=8192):
 
 
 def main():
-    qps_ours, dt = bench_ours()
+    name, qps_ours = bench_ours()
     qps_ref = bench_reference_algorithm()
     print(json.dumps({
         "metric": "mvtest3k_sim_rank_queries_per_sec_per_chip",

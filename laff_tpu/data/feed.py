@@ -104,6 +104,13 @@ class PairFeed:
     Yields dicts {'txt': {...}, 'vis': {...}, 'cap_ids': [...]}. The
     trailing partial batch is dropped so the jitted train step sees one
     static shape (torch-DataLoader semantics kept otherwise).
+
+    With a ``task3_source`` (negation caption set, reference
+    ``data_provider.py:649-684``) each batch additionally carries
+    'false_txt' (false-caption features, zeros when absent) and
+    'task3_mask' (1 positive pair, 0 negative, -1 no entry); captions with
+    a positive negation entry are randomly swapped for a
+    negation-augmented variant.
     """
 
     def __init__(
@@ -112,27 +119,54 @@ class PairFeed:
         vis_batcher: VisBatcher,
         batch_size: int = 128,
         seed: int = 0,
+        task3_source: Optional[TextSource] = None,
     ) -> None:
         self.text_batcher = text_batcher
         self.vis_batcher = vis_batcher
         self.batch_size = batch_size
         self.seed = seed
         self.cap_ids = list(text_batcher.source.cap_ids)
+        self.task3_source = task3_source
+        self._augmented = (
+            task3_source.negation_augmented() if task3_source is not None else {}
+        )
 
     def steps_per_epoch(self) -> int:
         return len(self.cap_ids) // self.batch_size
 
     def epoch(self, epoch: int) -> Iterator[Dict]:
+        import random as _random
+
         order = np.random.default_rng(self.seed + epoch).permutation(len(self.cap_ids))
         shuffled = [self.cap_ids[i] for i in order]
+        pyrng = _random.Random(self.seed * 1000 + epoch)
         for chunk in _chunks(shuffled, self.batch_size, drop_last=True):
             vis_ids = [vis_id_of(c) for c in chunk]
-            yield {
-                "txt": self.text_batcher(chunk),
-                "vis": self.vis_batcher(vis_ids),
+            batch = {
                 "cap_ids": chunk,
                 "vis_ids": vis_ids,
+                "vis": self.vis_batcher(vis_ids),
             }
+            if self.task3_source is None:
+                batch["txt"] = self.text_batcher(chunk)
+            else:
+                captions = []
+                false_captions = []
+                masks = np.full((len(chunk),), -1, dtype=np.int32)
+                for i, cap_id in enumerate(chunk):
+                    caption = self.text_batcher.source.caption(cap_id)
+                    false_cap, mask = self.task3_source.false_caption(cap_id, pyrng)
+                    masks[i] = mask
+                    if mask == 1 and cap_id in self._augmented:
+                        caption = pyrng.choice(self._augmented[cap_id])
+                    captions.append(caption)
+                    false_captions.append(false_cap or "")
+                batch["txt"] = self.text_batcher.encode_captions(captions, chunk)
+                batch["false_txt"] = self.text_batcher.encode_captions(
+                    false_captions, chunk
+                )
+                batch["task3_mask"] = masks
+            yield batch
 
 
 class EvalFeed:

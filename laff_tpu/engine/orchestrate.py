@@ -1,0 +1,150 @@
+"""Experiment orchestration: seed x hyperparameter sweeps of
+train -> predict -> (AVS: xml -> infAP), replacing the reference shell
+layer (``shell/retrieval_task.sh``, ``shell/avs_task.sh``).
+
+The reference parallelized by round-robining independent single-GPU jobs
+over a PID queue; on TPU one process owns the chip, so sweeps run
+sequentially here (or one orchestrator per host for pod-slice fleets).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional
+
+from ..utils import get_logger
+from .prepare import Options, model_dir_for
+
+logger = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class SweepOptions:
+    trainCollection: str
+    valCollection: str
+    testCollection: str
+    rootpath: str
+    config_name: str
+    parm_adjust_configs: List[str]
+    random_seeds: List[int]
+    val_set: str = "no"
+    batch_size: int = 128
+    num_epochs: int = 80
+    overwrite: int = 0
+    model_prefix_base: str = "runs_"
+    result_file: str = "result_log/result_test.txt"
+    trainCollection2: str = "None"
+    save_mean_last: int = 0
+    pretrained_file_path: str = "None"
+    task3_caption: str = "no_task3_caption"
+    # AVS mode (avs_task.sh): score query sets + TRECVID editions
+    avs_query_sets: Optional[str] = None  # e.g. 'tv16.avs.txt,tv17.avs.txt'
+    avs_editions: Optional[List[str]] = None  # e.g. ['tv16', 'tv17']
+    checkpoints: List[str] = dataclasses.field(
+        default_factory=lambda: ["model_best.pth.tar"]
+    )
+
+
+def retrieval_task(sweep: SweepOptions) -> Dict[str, Dict]:
+    """Train + benchmark-predict over the sweep grid
+    (``shell/retrieval_task.sh:118-197``)."""
+    from . import trainer
+    from .predictor import PredictOptions, main as predict_main
+
+    results: Dict[str, Dict] = {}
+    for seed in sweep.random_seeds:
+        for parm in sweep.parm_adjust_configs:
+            prefix = f"{sweep.model_prefix_base}{parm}_seed_{seed}"
+            opt = Options(
+                trainCollection=sweep.trainCollection,
+                valCollection=sweep.valCollection,
+                rootpath=sweep.rootpath,
+                val_set=sweep.val_set,
+                config_name=sweep.config_name,
+                parm_adjust_config=parm,
+                random_seed=seed,
+                batch_size=sweep.batch_size,
+                num_epochs=sweep.num_epochs,
+                model_prefix=prefix,
+                overwrite=sweep.overwrite,
+                trainCollection2=sweep.trainCollection2,
+                save_mean_last=sweep.save_mean_last,
+                pretrained_file_path=sweep.pretrained_file_path,
+                task3_caption=sweep.task3_caption,
+            )
+            best_ckpt = os.path.join(model_dir_for(opt), "model_best.pth.tar")
+            if os.path.exists(best_ckpt) and not sweep.overwrite:
+                logger.info("%s exists; skipping training", best_ckpt)
+                train_result = {"model_path": model_dir_for(opt), "skipped": True}
+            else:
+                train_result = trainer.main(opt)
+
+            train_tag = sweep.trainCollection
+            if sweep.trainCollection2 != "None":
+                train_tag += "_" + sweep.trainCollection2
+            sim_parts = [train_tag, sweep.valCollection]
+            if sweep.val_set != "no":
+                sim_parts.append(sweep.val_set)
+            sim_parts.append(sweep.config_name)
+            sim_name = os.path.join(*sim_parts)
+
+            popt = PredictOptions(
+                testCollection=sweep.testCollection,
+                model_path=best_ckpt,
+                sim_name=sim_name,
+                rootpath=sweep.rootpath,
+                overwrite=1,
+                query_sets=(
+                    sweep.avs_query_sets
+                    or f"{sweep.testCollection}.caption.txt"
+                ),
+                predict_result_file=sweep.result_file,
+                batch_size=max(sweep.batch_size, 256),
+            )
+            pred = predict_main(popt)
+            results[prefix] = {"train": train_result, "predict": pred}
+    return results
+
+
+def avs_task(sweep: SweepOptions) -> Dict[str, Dict]:
+    """Train + AVS-score + TRECVID infAP over editions and checkpoints
+    (``shell/avs_task.sh:169-259``)."""
+    from ..eval.trecvid import evaluate_xml, scores_to_xml
+    from .predictor import PredictOptions, main as predict_main
+
+    results = retrieval_task(sweep)
+    if not sweep.avs_editions:
+        return results
+
+    for prefix, res in results.items():
+        res["infAP"] = {}
+        for query_set, pred in res.get("predict", {}).items():
+            score_file = pred.get("score_file")
+            if not score_file:
+                continue
+            edition = query_set.split(".")[0]  # 'tv16.avs.txt' -> 'tv16'
+            if edition not in (sweep.avs_editions or []):
+                continue
+            topics = os.path.join(
+                sweep.rootpath, sweep.testCollection, "TextData", query_set
+            )
+            shots = os.path.join(
+                sweep.rootpath, sweep.testCollection, "VideoSets",
+                f"{sweep.testCollection}.txt",
+            )
+            xml = scores_to_xml(
+                score_file,
+                topics_file=topics if os.path.exists(topics) else None,
+                shots_file=shots if os.path.exists(shots) else None,
+                overwrite=True,
+            )
+            qrels = os.path.join(
+                sweep.rootpath, sweep.testCollection, "TextData",
+                f"avs.qrels.{edition}",
+            )
+            if os.path.exists(qrels):
+                res["infAP"][edition] = evaluate_xml(xml, qrels, overwrite=True)
+                logger.info("%s %s infAP=%.4f", prefix, edition,
+                            res["infAP"][edition])
+    return results

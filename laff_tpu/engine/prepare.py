@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..data import PairFeed, TextBatcher, TextSource, VisBatcher, VisionSource, read_video_set
-from ..models.spec import AttentionSpec, GruSpec, LAFFSpec, TowerSpec, TransformSpec
+from ..models.spec import AttentionSpec, GruSpec, LAFFSpec, Task3Spec, TowerSpec, TransformSpec
 from ..store import BigFile
 from ..text import build_vocab, get_txt2vec
 from ..text.txt2vec import IndexVec, load_vocab_pickle
@@ -156,6 +156,7 @@ def build_spec(
     txt_dims: Dict[str, int],
     gru_spec: Optional[GruSpec],
     frame_dims: Optional[Dict[str, int]] = None,
+    task3: bool = False,
 ) -> LAFFSpec:
     """config + discovered feature dims -> frozen LAFFSpec."""
     if isinstance(config.txt_fc_layers, str):
@@ -234,6 +235,17 @@ def build_spec(
         feat_add_concat=config.vis_feat_add_concat,
     )
 
+    task3_spec = None
+    if task3:
+        task3_spec = Task3Spec(
+            neg_weight=config.task3_neg_weight,
+            bottom_margin=config.task3_bottommargin,
+            upper_margin=config.task3_uppermargin,
+            bottom_margin_t2t=config.task3_bottommargin_t2t,
+            upper_margin_t2t=config.task3_uppermargin_t2t,
+            retrieval_weight=config.task3_neg_retrival_weight,
+            end_epoch=config.task3_end,
+        )
     return LAFFSpec(
         txt=txt,
         vis=vis,
@@ -244,6 +256,7 @@ def build_spec(
         max_violation=config.max_violation,
         cost_style=config.cost_style,
         loss=config.loss,
+        task3=task3_spec,
     )
 
 
@@ -424,7 +437,9 @@ def prepare(opt: Options) -> Prepared:
         config.txt_fc_layers = [0, int(config.txt_fc_layers.split("-")[1])]
     config.txt_fc_layers[0] = int(np.sum(list(txt_dims.values())))
 
-    spec = build_spec(config, vis_dims, txt_dims, gru_spec, frame_dims)
+    task3_enabled = getattr(opt, "task3_caption", "no_task3_caption") != "no_task3_caption"
+    spec = build_spec(config, vis_dims, txt_dims, gru_spec, frame_dims,
+                      task3=task3_enabled)
 
     # feeds
     train_ids = read_video_set(
@@ -436,11 +451,27 @@ def prepare(opt: Options) -> Prepared:
     train_vsource = VisionSource(
         train_vis, train_ids, frame_feat_files=train_frames, max_frame=config.max_frame
     )
+    task3_source = None
+    if task3_enabled:
+        capfile_task3 = os.path.join(
+            rootpath, opt.trainCollection, "TextData",
+            f"{opt.trainCollection}.caption.{opt.task3_caption}.txt",
+        )
+        task3_source = TextSource(
+            capfile_task3, task3=True, shuffle_seed=opt.random_seed
+        )
+        if "clip" in featurizers or "bert" in featurizers:
+            logger.warning(
+                "task3 with precomputed clip/bert text features: false "
+                "captions reuse the true caption's precomputed vector "
+                "(live tower pending)"
+            )
     train_feed = PairFeed(
         _make_text_batcher(config, featurizers, train_tsource),
         VisBatcher(train_vsource, with_frames=config.frame_feat_input),
         batch_size=opt.batch_size,
         seed=opt.random_seed,
+        task3_source=task3_source,
     )
 
     val_ids = read_video_set(

@@ -135,11 +135,55 @@ def make_loss_fn(spec):
     return loss_fn
 
 
+def _masked_margin2(
+    txt_embs, vis_embs, false_embs, mask, task3, epoch
+):
+    """Per-row dual-margin negation loss, masked over rows with no entry
+    and scaled like the reference (sum / n_valid * batch, reference
+    ``model/model.py:942-949``); vmapped over heads for multi-space."""
+    from ..ops.norms import l2norm
+
+    valid = (mask > -1).astype(jnp.float32)
+    weight = jnp.where(mask > -1, mask.astype(jnp.float32), 0.0)
+    weight = weight * (task3.neg_weight - 1.0) + 1.0
+
+    def row_cost(t, v, f):
+        t, v, f = l2norm(t), l2norm(v), l2norm(f)
+        s_t = jnp.sum(t * v, axis=-1)
+        s_f = jnp.sum(f * v, axis=-1)
+        s_f2 = jnp.sum(f * t, axis=-1)
+        cost = jnp.zeros_like(s_t)
+        if task3.bottom_margin is not None:
+            cost += jnp.clip(task3.bottom_margin + s_f - s_t, min=0.0)
+        if task3.upper_margin is not None:
+            cost += jnp.clip(-task3.upper_margin - s_f + s_t, min=0.0)
+        if task3.bottom_margin_t2t is not None:
+            cost += jnp.clip(task3.bottom_margin_t2t + s_f2 - s_t, min=0.0)
+        if task3.upper_margin_t2t is not None:
+            cost += jnp.clip(-task3.upper_margin_t2t - s_f2 + s_t, min=0.0)
+        return cost
+
+    if txt_embs.ndim == 3:
+        costs = jax.vmap(row_cost, in_axes=(1, 1, 1))(
+            txt_embs, vis_embs, false_embs
+        )  # (H, B)
+        cost = jnp.sum(costs, axis=0)
+    else:
+        cost = row_cost(txt_embs, vis_embs, false_embs)
+
+    n_valid = jnp.clip(jnp.sum(valid), min=1.0)
+    batch = txt_embs.shape[0]
+    total = jnp.sum(cost * weight * valid) / n_valid * batch
+    active = (epoch < task3.end_epoch).astype(jnp.float32)
+    return total * task3.retrieval_weight * active
+
+
 def make_train_step(model: LAFFModel, tx, spec):
     loss_fn = make_loss_fn(spec)
 
     @jax.jit
-    def train_step(state: TrainState, txt_batch, vis_batch, rng):
+    def train_step(state: TrainState, txt_batch, vis_batch, rng,
+                   false_txt_batch=None, task3_mask=None, epoch=0):
         def compute(params):
             variables = {"params": params}
             if state.batch_stats:
@@ -153,6 +197,23 @@ def make_train_step(model: LAFFModel, tx, spec):
             )
             txt_embs, vis_embs = out
             loss = loss_fn(txt_embs, vis_embs)
+            if spec.task3 is not None and false_txt_batch is not None:
+                stats = updates.get("batch_stats", state.batch_stats)
+                false_vars = {"params": params}
+                if stats:
+                    false_vars["batch_stats"] = stats
+                if state.schedule:
+                    false_vars["schedule"] = state.schedule
+                false_embs, _ = model.apply(
+                    false_vars, false_txt_batch, train=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"] if stats else [],
+                    method=model.encode_txt,
+                )
+                loss = loss + _masked_margin2(
+                    txt_embs, vis_embs, false_embs,
+                    jnp.asarray(task3_mask), spec.task3, jnp.asarray(epoch),
+                )
             return loss, updates.get("batch_stats", state.batch_stats)
 
         (loss, new_stats), grads = jax.value_and_grad(compute, has_aux=True)(
@@ -251,7 +312,18 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
             txt = shard_batch(txt, mesh)
             vis = shard_batch(vis, mesh)
         rng, step_rng = jax.random.split(rng)
-        state, loss = train_step(state, txt, vis, step_rng)
+        if "false_txt" in batch:
+            false_txt = {k: jnp.asarray(v) for k, v in batch["false_txt"].items()}
+            if mesh is not None:
+                false_txt = shard_batch(false_txt, mesh)
+            state, loss = train_step(
+                state, txt, vis, step_rng,
+                false_txt_batch=false_txt,
+                task3_mask=jnp.asarray(batch["task3_mask"]),
+                epoch=epoch,
+            )
+        else:
+            state, loss = train_step(state, txt, vis, step_rng)
         meter.update(float(loss))
         progress.add(feed.batch_size)
         if logger_ is not None and i % log_every == 0:

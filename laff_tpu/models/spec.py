@@ -88,6 +88,20 @@ class TowerSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class Task3Spec:
+    """Negation-aware ('task3') auxiliary loss knobs (reference
+    ``configs/base_config.py:251-257`` + Margin2Loss wiring)."""
+
+    neg_weight: float = 1.0
+    bottom_margin: Optional[float] = 0.1
+    upper_margin: Optional[float] = 0.6
+    bottom_margin_t2t: Optional[float] = 0.1
+    upper_margin_t2t: Optional[float] = 0.3
+    retrieval_weight: float = 0.001
+    end_epoch: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
 class LAFFSpec:
     """Full dual-encoder spec."""
 
@@ -100,3 +114,4 @@ class LAFFSpec:
     max_violation: bool = True
     cost_style: str = "sum"
     loss: str = "mrl"  # mrl | dsl | CELoss
+    task3: Optional[Task3Spec] = None

@@ -1,0 +1,75 @@
+"""Pallas kernels (interpret mode on CPU): equivalence against the XLA
+reference paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laff_tpu.eval import ranks_from_scores_device
+from laff_tpu.models.attention import MultiHeadGateAttention
+from laff_tpu.ops import multi_head_cosine_sim
+from laff_tpu.ops.pallas_kernels import (
+    flatten_heads,
+    fused_gate_attention,
+    fused_sim_rank,
+)
+
+
+def test_flatten_heads_equals_multihead_mean(rng):
+    t = jnp.asarray(rng.standard_normal((6, 4, 16)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((9, 4, 16)).astype(np.float32))
+    mean_sim = np.asarray(multi_head_cosine_sim(t, v))
+    flat_sim = np.asarray(flatten_heads(t) @ flatten_heads(v).T) / 4
+    np.testing.assert_allclose(mean_sim, flat_sim, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_sim_rank_matches_counting_path(rng):
+    t, v, h, d = 50, 300, 2, 32
+    txt = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    vis = jnp.asarray(rng.standard_normal((v, h, d)).astype(np.float32))
+    gt = jnp.asarray(rng.integers(0, v, (t,)).astype(np.int32))
+
+    ranks_pallas = np.asarray(fused_sim_rank(txt, vis, gt, block_t=16, block_v=128))
+
+    # reference: same bf16 flattened scores through the counting kernel
+    tn = flatten_heads(txt).astype(jnp.bfloat16)
+    vn = flatten_heads(vis).astype(jnp.bfloat16)
+    scores = jnp.dot(tn, vn.T, preferred_element_type=jnp.float32)
+    ranks_ref = np.asarray(ranks_from_scores_device(scores, gt))
+
+    # bf16 tiling may move near-ties by a ulp; demand near-exact agreement
+    assert (ranks_pallas == ranks_ref).mean() > 0.95
+    np.testing.assert_allclose(ranks_pallas, ranks_ref, atol=2)
+
+
+def test_fused_sim_rank_padding_safe(rng):
+    """Ranks must ignore gallery padding rows (sentinel scores)."""
+    t, v, h, d = 10, 37, 2, 16  # v not a multiple of any block
+    txt = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    vis = jnp.asarray(rng.standard_normal((v, h, d)).astype(np.float32))
+    gt = jnp.asarray(rng.integers(0, v, (t,)).astype(np.int32))
+    ranks = np.asarray(fused_sim_rank(txt, vis, gt, block_t=8, block_v=32))
+    assert (ranks >= 1).all() and (ranks <= v).all()
+
+
+@pytest.mark.parametrize("with_ave,mul", [(True, False), (False, False), (True, True)])
+def test_fused_gate_attention_matches_flax(rng, with_ave, mul):
+    b, l, h, dh = 12, 4, 4, 16
+    x = rng.standard_normal((b, l, h * dh)).astype(np.float32)
+    mod = MultiHeadGateAttention(heads=h, with_ave=with_ave, mul=mul, split_head=True)
+    variables = mod.init(jax.random.key(0), jnp.asarray(x))
+    expected = np.asarray(mod.apply(variables, jnp.asarray(x)))
+
+    out = np.asarray(
+        fused_gate_attention(
+            jnp.asarray(x.reshape(b, l, h, dh)),
+            variables["params"]["gate_kernel"],
+            variables["params"]["gate_bias"],
+            1.0,
+            with_ave=with_ave,
+            mul=mul,
+            block_b=8,
+        )
+    )
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)

@@ -1,0 +1,98 @@
+"""Sharded similarity engine + data-parallel training on the 8-device
+virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from laff_tpu.eval import ranks_from_scores_device
+from laff_tpu.ops import multi_head_cosine_sim
+from laff_tpu.ops.pallas_kernels import flatten_heads
+from laff_tpu.parallel import data_parallel_mesh, shard_batch
+from laff_tpu.parallel.sim_engine import sharded_t2v_ranks, sharded_topk
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return data_parallel_mesh(8)
+
+
+def test_sharded_ranks_match_single_device(rng, mesh):
+    t, v, h, d = 40, 203, 2, 16  # v deliberately not divisible by 8
+    txt = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    vis = jnp.asarray(rng.standard_normal((v, h, d)).astype(np.float32))
+    gt = jnp.asarray(rng.integers(0, v, (t,)).astype(np.int32))
+
+    sharded = sharded_t2v_ranks(txt, vis, gt, mesh)
+
+    tn = flatten_heads(txt)
+    vn = flatten_heads(vis)
+    scores = jnp.dot(tn, vn.T, preferred_element_type=jnp.float32)
+    expected = np.asarray(ranks_from_scores_device(scores, gt))
+    np.testing.assert_array_equal(sharded, expected)
+
+
+def test_sharded_topk_matches_global(rng, mesh):
+    t, v, h, d = 10, 160, 2, 16
+    txt = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    vis = jnp.asarray(rng.standard_normal((v, h, d)).astype(np.float32))
+    k = 12
+
+    vals, idx = sharded_topk(txt, vis, k, mesh)
+    assert vals.shape == (t, k) and idx.shape == (t, k)
+
+    scores = np.asarray(
+        flatten_heads(txt) @ flatten_heads(vis).T
+    )
+    for q in range(t):
+        expected_idx = np.argsort(scores[q])[::-1][:k]
+        np.testing.assert_allclose(
+            np.sort(vals[q])[::-1], np.sort(scores[q][expected_idx])[::-1],
+            rtol=1e-5,
+        )
+        assert set(idx[q]) == set(expected_idx)
+
+
+def test_sharded_train_step_matches_single_device(rng, mesh):
+    """Data-parallel gradient step == single-device step on the same batch
+    (GSPMD all-gathers the in-batch negatives)."""
+    from laff_tpu.models import AttentionSpec, LAFFModel, LAFFSpec, TowerSpec
+    from laff_tpu.ops import triplet_loss_multi_space
+
+    spec = LAFFSpec(
+        txt=TowerSpec(
+            features=(("bow", 16),), common_dim=32,
+            attention=AttentionSpec(kind="Multi_head_MyApply_Attention",
+                                    heads=2, with_ave=False),
+        ),
+        vis=TowerSpec(
+            features=(("f1", 12),), common_dim=32,
+            attention=AttentionSpec(kind="Multi_head_MyApply_Attention",
+                                    heads=2, with_ave=False),
+        ),
+    )
+    model = LAFFModel(spec)
+    b = 32
+    txt = {"bow": jnp.asarray(rng.standard_normal((b, 16)).astype(np.float32))}
+    vis = {"f1": jnp.asarray(rng.standard_normal((b, 12)).astype(np.float32))}
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, txt, vis
+    )
+
+    def loss_fn(params, txt, vis):
+        t, v = model.apply({"params": params}, txt, vis)
+        return triplet_loss_multi_space(t, v)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    g_single = grad_fn(variables["params"], txt, vis)
+
+    txt_sharded = shard_batch(txt, mesh)
+    vis_sharded = shard_batch(vis, mesh)
+    g_sharded = grad_fn(variables["params"], txt_sharded, vis_sharded)
+
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_single),
+                     jax.tree_util.tree_leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)

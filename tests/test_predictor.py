@@ -23,7 +23,7 @@ def trained_world(tmp_path_factory):
     build_w2v(root)
     opt = Options(
         trainCollection="toytrain", valCollection="toyval", rootpath=root,
-        val_set="no", config_name="tiny", num_epochs=3, batch_size=16,
+        val_set="no", config_name="tiny", num_epochs=8, batch_size=16,
         model_prefix="run_pred", metric="mir",
     )
     result = train_main(opt)
@@ -43,7 +43,9 @@ def test_predict_benchmark_collection(trained_world):
     )
     results = predict_main(opt)
     res = results["toytest.caption.txt"]
-    assert res["t2v"][0] > 0  # R@1 nonzero on aligned synthetic data
+    # mir comfortably above the random baseline (~0.18 for a 20-item
+    # gallery); R@1 alone is too noisy at this scale
+    assert res["t2v"][5] > 0.22, res["t2v"]
 
     # TSV rows written for both directions
     t2v_log = os.path.join(root, "result_log", "TextToVideo", "result_test.txt")

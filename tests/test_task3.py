@@ -1,0 +1,68 @@
+"""Negation-aware ('task3') training path: feed wiring + loss behavior."""
+
+import os
+
+import numpy as np
+import pytest
+
+from laff_tpu.engine import Options
+from laff_tpu.engine.trainer import main as train_main
+
+from helpers import build_collection, build_w2v
+
+
+@pytest.fixture
+def task3_world(tmp_path):
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=24, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=12, caps_per_video=1, seed=5)
+    build_w2v(root)
+    # negation caption set: ids '<cap>F<k>p' (positive) / 'Fn' (negative)
+    cap_path = os.path.join(root, "toytrain", "TextData", "toytrain.caption.txt")
+    neg_lines = []
+    with open(cap_path) as fh:
+        for i, line in enumerate(fh):
+            cap_id, caption = line.strip().split(" ", 1)
+            if i % 3 == 0:
+                neg_lines.append(f"{cap_id}Fp the dog does not run")
+            elif i % 3 == 1:
+                neg_lines.append(f"{cap_id}Fn nothing here at all")
+    with open(
+        os.path.join(root, "toytrain", "TextData", "toytrain.caption.false.txt"), "w"
+    ) as fh:
+        fh.write("\n".join(neg_lines))
+    return root
+
+
+def test_task3_training_runs_and_learns(task3_world):
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=task3_world,
+        val_set="no", config_name="tiny", num_epochs=6, batch_size=12,
+        model_prefix="run_t3", metric="mir", task3_caption="false",
+    )
+    result = train_main(opt)
+    # above the random-baseline mir (~H(12)/12 = 0.26) after training
+    assert result["best_perf"] > 0.26, result
+    assert os.path.exists(os.path.join(result["model_path"], "model_best.pth.tar"))
+
+
+def test_task3_feed_batches(task3_world):
+    from laff_tpu.engine import prepare
+
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=task3_world,
+        val_set="no", config_name="tiny", batch_size=8, task3_caption="false",
+    )
+    prepared = prepare(opt)
+    assert prepared.spec.task3 is not None
+    batch = next(iter(prepared.train_feed.epoch(0)))
+    assert "false_txt" in batch and "task3_mask" in batch
+    mask = batch["task3_mask"]
+    assert set(np.unique(mask)) <= {-1, 0, 1}
+    assert batch["false_txt"]["bow"].shape == batch["txt"]["bow"].shape
+    # rows without a negation entry must carry empty false captions
+    empty_rows = mask == -1
+    if empty_rows.any():
+        np.testing.assert_allclose(
+            batch["false_txt"]["bow"][empty_rows], 0.0
+        )
