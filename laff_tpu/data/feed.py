@@ -66,7 +66,16 @@ class TextBatcher:
                 ids, lengths = t2v.encode_batch_padded(captions, self.max_txtlength)
                 batch["rnn_ids"] = ids
                 batch["rnn_len"] = lengths
+            elif name == "netvlad":
+                # raw per-token w2v vectors, padded + masked
+                tokens, mask = self._netvlad_tokens(t2v, captions)
+                batch["netvlad_tokens"] = tokens
+                batch["netvlad_mask"] = mask
             elif name in self._PRECOMPUTED_KEYS:
+                if t2v is not None and hasattr(t2v, "encode_batch"):
+                    # live tower (e.g. StrongCLIP fine-tuned text encoder)
+                    batch[name] = t2v.encode_batch(captions)
+                    continue
                 if cap_ids is None:
                     raise ValueError(f"{name} features need cap_ids")
                 if precomputed is None:
@@ -75,6 +84,18 @@ class TextBatcher:
             else:
                 batch[name] = t2v.encode_batch(captions)
         return batch
+
+    def _netvlad_tokens(self, w2v, captions):
+        rows = [w2v.raw_encoding(c) for c in captions]
+        max_t = min(max(r.shape[0] for r in rows), self.max_txtlength)
+        dim = rows[0].shape[1]
+        tokens = np.zeros((len(rows), max_t, dim), np.float32)
+        mask = np.zeros((len(rows), max_t), np.float32)
+        for i, r in enumerate(rows):
+            t = min(r.shape[0], max_t)
+            tokens[i, :t] = r[:t]
+            mask[i, :t] = 1.0
+        return tokens, mask
 
 
 class VisBatcher:

@@ -52,6 +52,8 @@ class PredictOptions:
     num_workers: int = 0
     device: str = "0"
     task3_caption: str = "no_task3_caption"
+    each_head: int = 0          # also dump per-space (per-head) metrics
+    rerank: str = "none"        # none | kreciprocal | tkb
 
 
 def _topk_rankings(scores: np.ndarray, k: int):
@@ -117,6 +119,86 @@ def v2t_metrics(scores: np.ndarray, txt_ids: List[str], vis_ids: List[str]):
     from ..eval.metrics import eval_v2t
 
     return eval_v2t(scores, txt_ids, vis_ids)
+
+
+def per_head_scores(txt_embs, vis_embs) -> np.ndarray:
+    """(H, T, V) per-space similarity matrices (reference
+    ``get_txt2vis_matrix_each_head`` / ``predict_each_head``,
+    model/model.py:2050-2098)."""
+    from ..ops import multi_head_cosine_sim
+
+    return np.asarray(multi_head_cosine_sim(txt_embs, vis_embs, mean=False))
+
+
+def apply_rerank(
+    kind: str, scores: np.ndarray, txt_embs, vis_embs
+) -> np.ndarray:
+    """Optional post-processing re-rank of the score matrix (reference
+    ``predict_rerank``, model/model.py:1130-1406)."""
+    from ..eval.rerank import k_reciprocal_rerank, tkb_rerank
+    from ..ops.pallas_kernels import flatten_heads
+
+    if kind == "none":
+        return scores
+    tn = np.asarray(flatten_heads(txt_embs))
+    vn = np.asarray(flatten_heads(vis_embs))
+    h = txt_embs.shape[1] if txt_embs.ndim == 3 else 1
+    q_q = (tn @ tn.T) / h
+    g_g = (vn @ vn.T) / h
+    if kind == "kreciprocal":
+        dist = k_reciprocal_rerank(scores, q_q, g_g)
+        return -dist
+    if kind == "tkb":
+        boost = tkb_rerank(scores, g_g)
+        return scores + boost
+    raise ValueError(f"unknown rerank '{kind}'")
+
+
+def negation_adjusted_scores(
+    scores: np.ndarray,
+    neg_scores: np.ndarray,
+    neg_mask: np.ndarray,
+    method: str = "sub",
+) -> np.ndarray:
+    """Boolean negation scoring (reference ``predictneg_adhoc``,
+    model/model.py:1473-1565): map cosines to [0,1], then subtract (or
+    multiply down) the negated-clause similarity for queries that carry a
+    negation. ``neg_scores`` rows for mask==0 queries are ignored."""
+    s = (scores + 1.0) / 2.0
+    ns = np.clip(neg_scores, 0.0, None)
+    ns = (ns + 1.0) / 2.0
+    ns = ns * neg_mask[:, None] + 0.5 * (1.0 - neg_mask[:, None])
+    if method == "sub":
+        return s - ns
+    if method == "mul":
+        return s * (1.0 - ns)
+    raise ValueError(f"neg_method {method}")
+
+
+def strongclip_text_featurizer(rootpath: str, test_collection: str,
+                               dir_name: str = "clip_finetune_8frame_uniform_1103"):
+    """Fine-tuned CLIP text-tower swap (reference ``predictor.py:170-186``):
+    load <TextData>/<dir_name>/model_best.pth.tar and encode captions live."""
+    import torch
+
+    from ..models.clip import ClipTextTower, import_text_tower, tokenize
+
+    path = os.path.join(rootpath, test_collection, "TextData", dir_name,
+                        "model_best.pth.tar")
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = {k[11:]: v for k, v in ckpt["model"].items()}  # strip 'clip_model.'
+    prefix = "ClipModel." if any(k.startswith("ClipModel.") for k in sd) else ""
+    params = import_text_tower(sd, prefix=prefix)
+    tower = ClipTextTower()
+
+    _fn = jax.jit(lambda ids: tower.apply({"params": params}, ids))
+
+    class _Live:
+        def encode_batch(self, captions):
+            return np.asarray(_fn(jnp.asarray(tokenize(list(captions)))))
+
+    logger.info("StrongCLIP text tower loaded from %s", path)
+    return _Live()
 
 
 def rebuild_model(ckpt: Dict):
@@ -190,6 +272,21 @@ def main(opt: PredictOptions) -> Dict:
     model, variables, spec = rebuild_model(ckpt)
     embedder = Embedder(model, variables)
     featurizers = rebuild_featurizers(ckpt, opt.rootpath)
+
+    # StrongCLIP: swap in a fine-tuned live text tower when the config
+    # says so and the checkpoint exists (reference predictor.py:170-186)
+    if "StrongCLIP" in str(type(config).__module__) + str(
+        getattr(config, "model_name", "")
+    ) or "StrongCLIP" in str(ckpt.get("opt", {}).get("config_name", "")):
+        try:
+            dir_name = config.text_encoding["CLIP_encoding"].get(
+                "dir_name", "clip_finetune_8frame_uniform_1103"
+            )
+            featurizers["clip"] = strongclip_text_featurizer(
+                opt.rootpath, opt.testCollection, dir_name
+            )
+        except Exception as e:
+            logger.warning("StrongCLIP text tower load failed: %s", e)
     parm_adjust = str(ckpt.get("opt", {}).get("parm_adjust_config", "None"))
 
     rootpath = opt.rootpath
@@ -213,9 +310,17 @@ def main(opt: PredictOptions) -> Dict:
         txt_embs, txt_ids = embedder.embed_txt(txt_feed)
         scores = score_matrix(txt_embs, vis_embs)
 
+        if opt.rerank != "none":
+            scores = apply_rerank(opt.rerank, scores, txt_embs, vis_embs)
+
         if coll not in AVS_COLLECTIONS and query_set != "simple_query.txt":
-            ranks = t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids)
-            t2v = metrics_from_ranks(ranks)
+            if opt.rerank != "none":
+                from ..eval.metrics import eval_t2v
+
+                t2v = eval_t2v(scores, txt_ids, vis_ids)
+            else:
+                ranks = t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids)
+                t2v = metrics_from_ranks(ranks)
             result_dir = os.path.dirname(opt.predict_result_file)
             result_name = os.path.basename(opt.predict_result_file)
             append_result_row(
@@ -237,6 +342,20 @@ def main(opt: PredictOptions) -> Dict:
                 "%s t2v r1=%.2f r5=%.2f r10=%.2f medr=%.0f mir=%.4f",
                 query_set, t2v[0], t2v[1], t2v[2], t2v[3], t2v[5],
             )
+            if opt.each_head and txt_embs.ndim == 3:
+                from ..eval.metrics import eval_t2v
+
+                head_scores = per_head_scores(txt_embs, vis_embs)
+                per_head = []
+                for h in range(head_scores.shape[0]):
+                    m = eval_t2v(head_scores[h], txt_ids, vis_ids)
+                    per_head.append(m)
+                    append_result_row(
+                        os.path.join(result_dir, "TextToVideo",
+                                     f"head{h}_" + result_name),
+                        opt.model_path + "\t" + coll, parm_adjust, m,
+                    )
+                results[query_set]["per_head"] = per_head
         else:
             write_rank_dump(
                 None, scores, txt_ids, vis_ids,

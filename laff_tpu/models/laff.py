@@ -167,6 +167,13 @@ class FusionTower(nn.Module):
             return GruEncoder(self.spec.gru, name="gru")(
                 inputs["rnn_ids"], inputs["rnn_len"]
             )
+        if name == "netvlad":
+            from .attention import NetVLAD
+
+            return NetVLAD(num_clusters=self.spec.netvlad_clusters,
+                           name="netvlad")(
+                inputs["netvlad_tokens"], inputs.get("netvlad_mask")
+            )
         return inputs[name]
 
 

@@ -82,6 +82,7 @@ class TowerSpec:
     frame_add_fc: bool = False
     frame_feat_with_video_feat: bool = True
     feat_add_concat: bool = False
+    netvlad_clusters: int = 32
 
     def feature_dims(self) -> Dict[str, int]:
         return dict(self.features)

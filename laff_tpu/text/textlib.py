@@ -83,6 +83,24 @@ def negation_augmentation(input_str: str) -> List[str]:
 # keep the reference's (mis)spelling importable for drop-in compatibility
 negation_augumentation = negation_augmentation
 
+_NEGATION_CUES = (" not ", " no ", " without ", " never ")
+
+
+def split_negation(caption: str):
+    """Split a query into (positive part, negated clause, has_negation) for
+    boolean negation scoring. The clause after the first negation cue is
+    the negated content; the positive part keeps everything before it."""
+    padded = f" {caption.strip()} "
+    lower = padded.lower()
+    for cue in _NEGATION_CUES:
+        pos = lower.find(cue)
+        if pos >= 0:
+            positive = padded[:pos].strip()
+            negated = padded[pos + len(cue):].strip()
+            if positive and negated:
+                return positive, negated, True
+    return caption.strip(), "", False
+
 
 class Vocabulary:
     """word <-> index mapping (reference ``textlib.py:81-112``).

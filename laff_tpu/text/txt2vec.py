@@ -75,6 +75,11 @@ class Txt2Vec:
             out[i] = self.encoding(q)
         return out
 
+    def _fastfeat(self):
+        from ..native import get_fastfeat
+
+        return get_fastfeat()
+
 
 class BowVec(Txt2Vec):
     """Bag-of-words count vector over a pickled Vocabulary."""
@@ -95,6 +100,19 @@ class BowVec(Txt2Vec):
             if idx >= 0:
                 vec[idx] += 1
         return vec
+
+    def encode_batch(self, queries: Sequence[str]) -> np.ndarray:
+        """Batched counting; uses the native fastfeat extension when
+        available (identical semantics, ~10-50x faster host featurization)."""
+        ff = self._fastfeat()
+        if ff is not None and self.norm == 0 and self.clean:
+            from .textlib import ENGLISH_STOP_WORDS
+
+            out = np.zeros((len(queries), self.ndims), dtype=np.float32)
+            stop = ENGLISH_STOP_WORDS if self._remove_stopword else None
+            ff.encode_bow(list(queries), self.vocab.word2idx, stop, out)
+            return out
+        return super().encode_batch(queries)
 
     def __len__(self) -> int:
         return self.ndims
@@ -158,6 +176,16 @@ class IndexVec(Txt2Vec):
 
     def encode_batch_padded(self, queries: Sequence[str], max_len: int):
         """Fixed-shape (B, max_len) int32 ids + (B,) lengths for the TPU path."""
+        ff = self._fastfeat()
+        w2i = self.vocab.word2idx
+        if ff is not None and self.clean and "<unk>" in w2i:
+            ids = np.zeros((len(queries), max_len), dtype=np.int32)
+            lengths = np.zeros((len(queries),), dtype=np.int32)
+            ff.encode_idx(
+                list(queries), w2i, w2i["<unk>"], w2i["<start>"], w2i["<end>"],
+                ids, lengths,
+            )
+            return ids, lengths
         ids = np.zeros((len(queries), max_len), dtype=np.int32)
         lengths = np.zeros((len(queries),), dtype=np.int32)
         for i, q in enumerate(queries):

@@ -66,3 +66,32 @@ def test_task3_feed_batches(task3_world):
         np.testing.assert_allclose(
             batch["false_txt"]["bow"][empty_rows], 0.0
         )
+
+
+def test_split_negation():
+    from laff_tpu.text.textlib import split_negation
+
+    pos, neg, has = split_negation("a man not wearing a hat")
+    assert (pos, neg, has) == ("a man", "wearing a hat", True)
+    pos, neg, has = split_negation("a dog runs")
+    assert has is False and pos == "a dog runs"
+    pos, neg, has = split_negation("people without masks walking")
+    assert has and neg.startswith("masks")
+
+
+def test_negation_adjusted_scores(rng):
+    import numpy as np
+
+    from laff_tpu.engine.predictor import negation_adjusted_scores
+
+    scores = rng.uniform(-1, 1, (3, 5)).astype(np.float32)
+    neg_scores = rng.uniform(-1, 1, (3, 5)).astype(np.float32)
+    mask = np.array([1.0, 0.0, 1.0], np.float32)
+    out = negation_adjusted_scores(scores, neg_scores, mask)
+    # non-negated rows: uniform -0.5 shift (rank preserving)
+    np.testing.assert_allclose(out[1], (scores[1] + 1) / 2 - 0.5, rtol=1e-6)
+    # negated rows: penalized by the negated-clause similarity
+    expected0 = (scores[0] + 1) / 2 - (np.clip(neg_scores[0], 0, None) + 1) / 2
+    np.testing.assert_allclose(out[0], expected0, rtol=1e-6)
+    out_mul = negation_adjusted_scores(scores, neg_scores, mask, method="mul")
+    assert out_mul.shape == scores.shape
