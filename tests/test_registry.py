@@ -50,3 +50,18 @@ def test_check_collection(tmp_path):
         os.path.join(root, "word2vec", "flickr", "vec500flickr30m"),
     )
     assert check_environment(root, ["toy"], ["clip_ft"])
+
+
+def test_live_bert_gated():
+    """Live BERT needs downloadable/cached weights; construction must fail
+    with a clear error offline, and the class exists for parity."""
+    import pytest
+
+    from laff_tpu.models.bert import LiveBertTextFeaturizer
+
+    try:
+        feat = LiveBertTextFeaturizer()
+    except Exception:
+        pytest.skip("BERT weights unavailable offline")
+    out = feat.encode_batch(["a dog runs"])
+    assert out.shape == (1, 768)
