@@ -66,6 +66,12 @@ def _scores_block(txt_embs: jnp.ndarray, vis_embs: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(t, v.T, preferred_element_type=jnp.float32)
 
 
+@jax.jit
+def _flat_scores_block(tn: jnp.ndarray, vn: jnp.ndarray, heads: int) -> jnp.ndarray:
+    """Pre-normalized flattened embeddings -> mean-of-cosines scores."""
+    return jnp.dot(tn, vn.T, preferred_element_type=jnp.float32) / heads
+
+
 def score_matrix(
     txt_embs: jnp.ndarray,
     vis_embs: jnp.ndarray,
@@ -91,14 +97,23 @@ def t2v_ranks(
     block: int = 8192,
 ) -> np.ndarray:
     """1-based ranks of the ground-truth video per caption, computed fully
-    on device (scores + counting), never materializing host-side argsorts."""
+    on device (scores + counting), never materializing host-side argsorts.
+
+    Embeddings are per-head normalized + flattened ONCE (the H-head mean of
+    cosines equals a single flat dot / H), so the gallery is never
+    renormalized per text block."""
+    from ..ops.pallas_kernels import flatten_heads
+
     vid_index = {v: i for i, v in enumerate(vis_ids)}
     gt = np.asarray([vid_index[t.split("#")[0]] for t in txt_ids], dtype=np.int32)
-    n = txt_embs.shape[0]
+    heads = txt_embs.shape[1] if txt_embs.ndim == 3 else 1
+    tn = flatten_heads(txt_embs)
+    vn = flatten_heads(vis_embs)
+    n = tn.shape[0]
     ranks = np.empty((n,), dtype=np.int32)
     for start in range(0, n, block):
         stop = min(start + block, n)
-        scores = _scores_block(txt_embs[start:stop], vis_embs)
+        scores = _flat_scores_block(tn[start:stop], vn, heads)
         ranks[start:stop] = np.asarray(
             ranks_from_scores_device(scores, jnp.asarray(gt[start:stop]))
         )

@@ -200,6 +200,7 @@ def build_spec(
                 ),
             ))
 
+    compute_dtype = "bfloat16" if getattr(config, "float16", False) else "float32"
     txt = TowerSpec(
         features=tuple(txt_dims.items()),
         common_dim=txt_common,
@@ -212,6 +213,7 @@ def build_spec(
         batch_norm=config.batch_norm,
         activation=config.activation,
         gru=gru_spec,
+        compute_dtype=compute_dtype,
     )
 
     vis_nt = _no_transform_keys(config.vis_no_transform)
@@ -233,6 +235,7 @@ def build_spec(
         frame_add_fc=config.vis_frame_addFC,
         frame_feat_with_video_feat=config.frame_feat_with_video_feat,
         feat_add_concat=config.vis_feat_add_concat,
+        compute_dtype=compute_dtype,
     )
 
     task3_spec = None

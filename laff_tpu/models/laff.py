@@ -30,12 +30,17 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.norms import l2norm
 from .attention import get_attention_layer
 from .gru import GruEncoder
 from .layers import TransformNet
 from .spec import LAFFSpec, TowerSpec, TransformSpec
+
+
+def _dtype_of(spec):
+    return jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
 
 
 def _transform_spec_for(spec: TowerSpec, name: str, dim_in: int) -> TransformSpec:
@@ -104,6 +109,7 @@ class FusionTower(nn.Module):
             return TransformNet(
                 dim_out=spec.common_dim, activation=spec.activation,
                 dropout=spec.dropout, batch_norm=spec.batch_norm,
+                dtype=_dtype_of(spec),
                 name="transform",
             )(cat, train=train)
 
@@ -127,6 +133,7 @@ class FusionTower(nn.Module):
                 dim_out=tspec.dim_out, fc=tspec.fc,
                 activation=tspec.activation, dropout=tspec.dropout,
                 batch_norm=tspec.batch_norm,
+                dtype=_dtype_of(spec),
                 name=f"transform_{_safe(name)}",
             )(feat, train=train)
             locals_.append(feat)
@@ -139,6 +146,7 @@ class FusionTower(nn.Module):
             cat = TransformNet(
                 dim_out=spec.common_dim, activation=spec.activation,
                 dropout=spec.dropout, batch_norm=spec.batch_norm,
+                dtype=_dtype_of(spec),
                 name="transform_feat_add_concat",
             )(cat, train=train)
             locals_.append(cat)
@@ -209,3 +217,20 @@ class LAFFModel(nn.Module):
             self.encode_txt(txt_inputs, train=train),
             self.encode_vis(vis_inputs, train=train),
         )
+
+
+def get_attention_weights(model: LAFFModel, variables, inputs, side: str = "txt"):
+    """Fusion-attention weights for a batch (reference
+    ``get_attention_weight``, Attention.py:75-76 / model.py:1707-1709).
+
+    Returns the sown softmax gate weights: (B, L) for single-head kinds,
+    (B, L, H) for the multi-head LAFF gate.
+    """
+    method = model.encode_txt if side == "txt" else model.encode_vis
+    _, state = model.apply(
+        variables, inputs, method=method, mutable=["intermediates"]
+    )
+    tower = "txt_net" if side == "txt" else "vis_net"
+    inter = state["intermediates"][tower]
+    node = inter.get("attention") or next(iter(inter.values()))
+    return np.asarray(node["attn_weights"][0]) if "attn_weights" in node else None

@@ -30,14 +30,18 @@ class TransformNet(nn.Module):
     activation: Optional[str] = "tanh"
     dropout: float = 0.2
     batch_norm: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU); params f32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         if self.fc:
             x = nn.Dense(
                 self.dim_out,
                 kernel_init=nn.initializers.xavier_uniform(),
                 bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
                 name="fc1",
             )(x)
         if self.activation and self.activation in _ACTIVATIONS:
@@ -46,10 +50,12 @@ class TransformNet(nn.Module):
             x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         if self.batch_norm:
             # torch BatchNorm1d(momentum=0.1) == flax momentum 0.9
+            # (batch statistics always reduce in f32 via flax defaults)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                dtype=self.dtype,
                 name="bn1",
             )(x)
-        return x
+        return x.astype(jnp.float32) if self.dtype is not None else x

@@ -83,6 +83,7 @@ class TowerSpec:
     frame_feat_with_video_feat: bool = True
     feat_add_concat: bool = False
     netvlad_clusters: int = 32
+    compute_dtype: str = "float32"  # 'bfloat16' = reference float16/AMP flag
 
     def feature_dims(self) -> Dict[str, int]:
         return dict(self.features)

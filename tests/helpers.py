@@ -10,6 +10,7 @@ learnable in a few steps.
 """
 
 import os
+import zlib
 
 import numpy as np
 
@@ -47,7 +48,8 @@ def build_collection(
     latent = np.stack([word_codes[w].sum(0) for w in video_words])
 
     for feat, dim in feat_dims:
-        proj = np.random.default_rng(hash(feat) % 2**31).standard_normal(
+        # zlib.crc32: stable across processes (str hash is salted)
+        proj = np.random.default_rng(zlib.crc32(feat.encode()) % 2**31).standard_normal(
             (latent_dim, dim)
         ).astype(np.float32)
         mat = latent @ proj + 0.05 * rng.standard_normal((n_videos, dim)).astype(

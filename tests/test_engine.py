@@ -59,10 +59,11 @@ def test_prepare_builds_spec_and_feeds(tiny_world):
 
 
 def test_train_end_to_end(tiny_world):
-    opt = make_opt(tiny_world, num_epochs=4)
+    opt = make_opt(tiny_world, num_epochs=10)
     result = main(opt)
     model_path = result["model_path"]
     # training actually learned something on the aligned synthetic data
+    # (random-baseline mir for a 16-item gallery is ~0.21)
     assert result["best_perf"] > 0.25, result
     # checkpoint protocol artifacts
     assert os.path.exists(os.path.join(model_path, "model_best.pth.tar"))

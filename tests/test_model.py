@@ -217,3 +217,47 @@ def test_concat_tower(rng):
     t_emb, v_emb = model.apply(variables, tb, vb)
     assert t_emb.shape == (4, 24)
     assert v_emb.shape == (4, 24)
+
+
+def test_bfloat16_compute_path(rng):
+    """compute_dtype='bfloat16': params stay f32, outputs f32, numerics
+    close to the f32 tower (the reference float16/AMP flag equivalent)."""
+    import dataclasses
+
+    import jax
+
+    spec32 = laff_ml_spec()
+    spec16 = dataclasses.replace(
+        spec32,
+        txt=dataclasses.replace(spec32.txt, compute_dtype="bfloat16"),
+        vis=dataclasses.replace(spec32.vis, compute_dtype="bfloat16"),
+    )
+    txt, vis = make_batch(rng)
+    m32, m16 = LAFFModel(spec32), LAFFModel(spec16)
+    v32 = m32.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, txt, vis)
+    t32, e32 = m32.apply(v32, txt, vis)
+    t16, e16 = m16.apply(v32, txt, vis)  # same params
+    assert t16.dtype == jnp.float32
+    # params unchanged dtype
+    assert all(
+        l.dtype == jnp.float32 for l in jax.tree_util.tree_leaves(v32["params"])
+    )
+    # bf16 towers track the f32 result
+    np.testing.assert_allclose(np.asarray(t16), np.asarray(t32), atol=0.08)
+    np.testing.assert_allclose(np.asarray(e16), np.asarray(e32), atol=0.08)
+
+
+def test_attention_weight_introspection(rng):
+    from laff_tpu.models.laff import get_attention_weights
+
+    spec = laff_ml_spec()
+    model = LAFFModel(spec)
+    txt, vis = make_batch(rng)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, txt, vis
+    )
+    w = get_attention_weights(model, variables, txt, side="txt")
+    assert w.shape == (6, 4, 4)  # (B, L, H)
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, rtol=1e-5)  # softmax over L
+    wv = get_attention_weights(model, variables, vis, side="vis")
+    assert wv.shape == (6, 4, 4)
