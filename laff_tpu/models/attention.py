@@ -80,7 +80,14 @@ class GateAttention(nn.Module):
             g = self.variable(
                 "schedule", "global_emb_weight", lambda: jnp.ones(())
             )
-            out = out + g.value * raw_global_emb
+            # the reference adds g*mean to EVERY position before the sum
+            # over L (Attention.py:99-101), so the residual is g * sum(x)
+            if mask is None:
+                count = float(local_embs.shape[1])
+            else:
+                count = jnp.clip(jnp.sum(mask.astype(out.dtype), axis=1),
+                                 min=1.0)[:, None]
+            out = out + g.value * raw_global_emb * count
         return l2norm(out, eps=0.0)
 
 
@@ -196,7 +203,14 @@ class MultiHeadGateAttention(nn.Module):
                 attn_w = 1.0 - g.value
             else:
                 attn_w = 1.0
-            residual = with_ave_vec[None, :, None] * g.value * raw_global
+            # reference adds g*mean per position before summing over L
+            # (Attention.py:99-101): residual = g * L * mean = g * sum(x)
+            if mask is None:
+                count = float(length)
+            else:
+                count = jnp.clip(jnp.sum(mask.astype(out.dtype), axis=1),
+                                 min=1.0)[:, None, None]
+            residual = with_ave_vec[None, :, None] * g.value * raw_global * count
             out = jnp.where(
                 with_ave_vec[None, :, None] > 0, attn_w * out + residual, out
             )

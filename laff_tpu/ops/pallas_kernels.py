@@ -177,7 +177,8 @@ def _gate_kernel(x_ref, k_ref, b_ref, g_ref, out_ref, *, with_ave, mul):
     weights = jax.nn.softmax(logits, axis=1)  # (BT, L, H)
     out = jnp.sum(weights[..., None] * x, axis=1)  # (BT, H, dh)
     if with_ave:
-        out = out + g_ref[0] * raw_global
+        # residual g * L * mean (reference adds per position then sums)
+        out = out + g_ref[0] * raw_global * float(x.shape[1])
     norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True)) + 1e-14
     out_ref[:] = out / norm
 

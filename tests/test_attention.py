@@ -29,7 +29,7 @@ def np_attention1(x, w, b, g, with_ave, mul):
     wts = np_softmax(logits, 1)
     out = (wts[..., None] * x).sum(1)
     if with_ave:
-        out = out + g * raw
+        out = out + g * raw * x.shape[1]  # residual added per position
     norm = np.sqrt((out * out).sum(-1, keepdims=True)) + 1e-14
     return out / norm
 

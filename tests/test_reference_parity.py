@@ -1,0 +1,201 @@
+"""Gold parity test: build the ACTUAL reference PyTorch LAFF model (from
+the read-only reference tree), run its towers on a batch, export its
+checkpoint, import it through our torch-import pipeline, and require the
+flax model to reproduce the reference embeddings numerically.
+
+This is the BASELINE.json north-star requirement ("runs unchanged against
+reference PyTorch checkpoints") tested end to end. Skipped when the
+reference tree or its deps are unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/model"), reason="reference tree absent"
+)
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from laff_tpu.engine.torch_import import convert_state_dict, spec_from_reference_config
+from laff_tpu.models import LAFFModel
+from laff_tpu.store import write_bigfile
+from laff_tpu.text import BowVecNSW, IndexVec, W2VecNSW, build_vocab
+from laff_tpu.text.vocab import save_vocab
+
+from helpers import WORDS
+
+
+@pytest.fixture(scope="module")
+def reference_world(tmp_path_factory):
+    """Toy vocab/w2v/captions shared by both stacks."""
+    root = tmp_path_factory.mktemp("refworld")
+    cap = root / "caps.txt"
+    rng = np.random.default_rng(7)
+    lines = []
+    for i in range(40):
+        words = [WORDS[j] for j in rng.choice(len(WORDS), 5, replace=False)]
+        lines.append(f"video{i}#0 a {' '.join(words)}")
+    cap.write_text("\n".join(lines))
+
+    bow_vocab, _ = build_vocab(str(cap), "bow_nsw", threshold=1)
+    gru_vocab, _ = build_vocab(str(cap), "gru", threshold=1)
+    bow_path = str(root / "bow_nsw_1.pkl")
+    gru_path = str(root / "gru_1.pkl")
+    save_vocab(bow_vocab, bow_path)
+    save_vocab(gru_vocab, gru_path)
+
+    w2v_dir = str(root / "w2v")
+    words = WORDS + ["a", "the"]
+    write_bigfile(
+        w2v_dir, words,
+        np.random.default_rng(3).standard_normal((len(words), 12)).astype(np.float32),
+    )
+    captions = [l.split(" ", 1)[1] for l in lines]
+    return {
+        "bow_path": bow_path, "gru_path": gru_path, "w2v_dir": w2v_dir,
+        "captions": captions, "bow_vocab": bow_vocab, "gru_vocab": gru_vocab,
+    }
+
+
+def _stub_missing_deps():
+    """torchvision isn't installed; the reference only needs its names at
+    import time (CLIP preprocess constructors), so stub them."""
+    import types
+
+    if "ftfy" not in sys.modules:
+        import importlib.machinery
+
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda s: s
+        ftfy.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
+        sys.modules["ftfy"] = ftfy
+    if "torchvision" in sys.modules:
+        return
+    import importlib.machinery
+
+    def _spec(name):
+        return importlib.machinery.ModuleSpec(name, loader=None)
+
+    tv = types.ModuleType("torchvision")
+    tv.__spec__ = _spec("torchvision")
+    transforms = types.ModuleType("torchvision.transforms")
+    transforms.__spec__ = _spec("torchvision.transforms")
+    for name in ("Compose", "Resize", "CenterCrop", "TenCrop", "Lambda",
+                 "ToTensor", "Normalize", "RandomResizedCrop"):
+        setattr(transforms, name, object)
+    datasets = types.ModuleType("torchvision.datasets")
+    datasets.__spec__ = _spec("torchvision.datasets")
+    datasets.Kinetics400 = object
+    tv.transforms = transforms
+    tv.datasets = datasets
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.datasets"] = datasets
+
+
+def _load_reference_model(world):
+    _stub_missing_deps()
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+
+        ref_txt2vec = importlib.import_module("txt2vec")
+        ref_model_mod = importlib.import_module("model.model")
+    except Exception as e:
+        pytest.skip(f"reference model deps unavailable: {e}")
+    finally:
+        sys.path.remove("/root/reference")
+
+    from laff_tpu.configs.tiny import config as TinyConfig
+
+    config = TinyConfig()
+    heads = 4
+    common = 32
+    config.vid_feats = ["clip_ft", "x3d"]
+    config.vis_fc_layers = [{"clip_ft": 16, "x3d": 12}, common]
+    config.txt_fc_layers = [0, common]
+    config.rnn_size = 8
+    config.we_dim = 12
+    config.multi_head_attention = {"dropout": 0.0, "heads": heads,
+                                   "embed_dim_qkv": 8}
+    config.attention_param_each_head = {"with_ave": True, "mul": False,
+                                        "split_head": True}
+    config.batch_norm = True
+    config.dropout = 0.2
+    config.t2v_bow = ref_txt2vec.BowVecNSW(world["bow_path"])
+    config.t2v_idx = ref_txt2vec.IndexVec(world["gru_path"])
+    config.t2v_w2v = ref_txt2vec.W2VecNSW(world["w2v_dir"])
+    config.pooling = "mean"
+    config.we = torch.from_numpy(
+        np.random.default_rng(11).standard_normal(
+            (len(world["gru_vocab"]), 12)
+        ).astype(np.float32)
+    )
+    config.float16 = False
+
+    torch.manual_seed(0)
+    model = ref_model_mod.get_model("LAFF", torch.device("cpu"), config)
+    model.eval()
+    return model, config
+
+
+def test_reference_checkpoint_embedding_parity(reference_world, rng):
+    model, config = _load_reference_model(reference_world)
+
+    captions = reference_world["captions"][:8]
+    vis_np = {
+        "clip_ft": rng.standard_normal((8, 16)).astype(np.float32),
+        "x3d": rng.standard_normal((8, 12)).astype(np.float32),
+    }
+
+    with torch.no_grad():
+        ref_txt = model.txt_net({"caption": captions}).numpy()
+        ref_vis = model.vis_net(
+            {k: torch.from_numpy(v) for k, v in vis_np.items()}
+        ).numpy()
+
+    # --- export -> import through our pipeline ---
+    config.t2v_w2v = None  # reference trainer does this before pickling
+    spec = spec_from_reference_config(config)
+    params, stats, schedule = convert_state_dict(model.state_dict(), spec)
+
+    ours = LAFFModel(spec)
+    variables = {"params": params, "batch_stats": stats, "schedule": schedule}
+
+    # same text features via our feed-side featurizers
+    bow = BowVecNSW(reference_world["bow_vocab"])
+    w2v = W2VecNSW(reference_world["w2v_dir"])
+    idx = IndexVec(reference_world["gru_vocab"])
+    ids, lengths = idx.encode_batch_padded(captions, max_len=16)
+    txt_batch = {
+        "rnn_ids": jnp.asarray(ids),
+        "rnn_len": jnp.asarray(lengths),
+        "bow": jnp.asarray(bow.encode_batch(captions)),
+        "w2v": jnp.asarray(w2v.encode_batch(captions)),
+    }
+    vis_batch = {k: jnp.asarray(v) for k, v in vis_np.items()}
+
+    our_txt = np.asarray(ours.apply(variables, txt_batch, method=ours.encode_txt))
+    our_vis = np.asarray(ours.apply(variables, vis_batch, method=ours.encode_vis))
+
+    assert our_txt.shape == ref_txt.shape, (our_txt.shape, ref_txt.shape)
+    np.testing.assert_allclose(our_vis, ref_vis, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(our_txt, ref_txt, rtol=1e-4, atol=1e-5)
+
+    # and the similarity matrices (the retrieval-visible quantity)
+    from laff_tpu.ops import multi_head_cosine_sim
+
+    our_sims = np.asarray(
+        multi_head_cosine_sim(jnp.asarray(our_txt), jnp.asarray(our_vis))
+    )
+    with torch.no_grad():
+        ref_sims = model.get_txt2vis_matrix(
+            torch.from_numpy(ref_txt), torch.from_numpy(ref_vis)
+        ).numpy()
+    np.testing.assert_allclose(our_sims, ref_sims, rtol=1e-4, atol=1e-5)

@@ -138,7 +138,7 @@ def test_convert_and_numeric_equivalence(rng):
         loc = xh[:, :, h, :]
         raw = loc.mean(1)
         wts = np_softmax(loc @ w + bias, 1)
-        out = (wts[..., None] * loc).sum(1) + 0.6 * raw  # residual weight 0.6
+        out = (wts[..., None] * loc).sum(1) + 0.6 * 2 * raw  # g*L*mean, L=2
         expected[:, h] = out / (np.sqrt((out * out).sum(-1, keepdims=True)) + 1e-14)
 
     np.testing.assert_allclose(vis_emb, expected, rtol=1e-4, atol=1e-5)
