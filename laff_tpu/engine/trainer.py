@@ -273,18 +273,24 @@ def init_state(model, spec, prepared: Prepared, tx, seed: int = 2) -> TrainState
 
 
 class ScalarLogger:
-    """TSV scalar log (always) + TensorBoard when available."""
+    """TSV scalar log (always) + TensorBoard when opted in.
+
+    TensorBoard is opt-in (LAFF_TPU_TENSORBOARD=1) because importing
+    torch.utils.tensorboard can drag in TensorFlow, which contends with
+    JAX for the TPU and deadlocks the first compile.
+    """
 
     def __init__(self, logdir: str):
         self.path = os.path.join(logdir, "scalars.tsv")
         self._fh = open(self.path, "a")
         self._tb = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        if os.environ.get("LAFF_TPU_TENSORBOARD") == "1":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
 
-            self._tb = SummaryWriter(log_dir=logdir, flush_secs=5)
-        except Exception:
-            pass
+                self._tb = SummaryWriter(log_dir=logdir, flush_secs=5)
+            except Exception:
+                pass
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self._fh.write(f"{step}\t{tag}\t{value}\n")

@@ -104,21 +104,32 @@ def _sim_rank_kernel(nvalid_ref, gt_ref, txt_ref, vis_ref, gts_ref, out_ref, acc
         out_ref[0, :] = acc_ref[0, :] + 1
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "block_v"))
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "block_v", "prenormalized")
+)
 def fused_sim_rank(
     txt: jnp.ndarray,
     vis: jnp.ndarray,
     gt_cols: jnp.ndarray,
     block_t: int = 256,
     block_v: int = 1024,
+    prenormalized: bool = False,
 ) -> jnp.ndarray:
     """1-based ranks of gt_cols for multi-head (or flat) embeddings.
 
     txt: (T, H, d) or (T, D); vis: (V, H, d) or (V, D); gt_cols: (T,) int32.
     The (T, V) score matrix lives only in VMEM tiles.
+
+    ``prenormalized=True`` skips the per-head l2norm (LAFF attention
+    outputs are already unit-norm per head — Attention.py:103 — so the
+    production eval path saves a full read+write of both embedding sets).
     """
-    tn = flatten_heads(txt).astype(jnp.bfloat16)
-    vn = flatten_heads(vis).astype(jnp.bfloat16)
+    if prenormalized:
+        tn = txt.reshape(txt.shape[0], -1).astype(jnp.bfloat16)
+        vn = vis.reshape(vis.shape[0], -1).astype(jnp.bfloat16)
+    else:
+        tn = flatten_heads(txt).astype(jnp.bfloat16)
+        vn = flatten_heads(vis).astype(jnp.bfloat16)
     t, hd = tn.shape
     v = vn.shape[0]
 

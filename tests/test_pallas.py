@@ -73,3 +73,18 @@ def test_fused_gate_attention_matches_flax(rng, with_ave, mul):
         )
     )
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_sim_rank_prenormalized(rng):
+    """prenormalized=True on unit-norm-per-head embeddings equals the
+    normalizing path."""
+    from laff_tpu.ops.norms import l2norm as _l2n
+
+    t, v, h, d = 20, 100, 2, 16
+    txt = _l2n(jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32)), axis=-1)
+    vis = _l2n(jnp.asarray(rng.standard_normal((v, h, d)).astype(np.float32)), axis=-1)
+    gt = jnp.asarray(rng.integers(0, v, (t,)).astype(np.int32))
+    a = np.asarray(fused_sim_rank(txt, vis, gt, block_t=8, block_v=32))
+    b = np.asarray(fused_sim_rank(txt, vis, gt, block_t=8, block_v=32,
+                                  prenormalized=True))
+    np.testing.assert_array_equal(a, b)
