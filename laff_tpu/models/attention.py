@@ -143,7 +143,14 @@ class MultiHeadGateAttention(nn.Module):
         if self.l2norm_each_head:
             x = l2norm(x, axis=-1)
         if self.pre_layer_norm:
-            x = nn.LayerNorm(name="pre_ln")(x)
+            # one LayerNorm per head (the reference builds a separate
+            # Attention_layer_norm submodule per head, Attention.py:815-818)
+            ln_scale = self.param("pre_ln_scale", nn.initializers.ones, (h, dh))
+            ln_bias = self.param("pre_ln_bias", nn.initializers.zeros, (h, dh))
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+            x = (x - mean) / jnp.sqrt(var + 1e-5)
+            x = x * ln_scale[None, None] + ln_bias[None, None]
 
         if self.fusion_mix:
             cyc = jnp.arange(h) % 4
