@@ -120,6 +120,41 @@ def t2v_ranks(
     return ranks
 
 
+def score_matrix_streaming(
+    embedder: Embedder,
+    txt_embs: jnp.ndarray,
+    vis_feed: EvalFeed,
+) -> Tuple[np.ndarray, List[str]]:
+    """Gallery-streaming similarity: embed gallery blocks on the fly and
+    score them against all queries, never holding the full gallery
+    embeddings in HBM (reference ``predict_batch`` for >5e4 galleries,
+    model/model.py:1081-1128). Returns host (T, V) scores + vis ids."""
+    from ..ops.pallas_kernels import flatten_heads
+
+    heads = txt_embs.shape[1] if txt_embs.ndim == 3 else 1
+    tn = flatten_heads(txt_embs)
+    blocks = []
+    vis_ids: List[str] = []
+    for item in Prefetcher(iter(vis_feed), depth=2):
+        emb = embedder._vis(
+            embedder.variables,
+            {k: jnp.asarray(v) for k, v in item["data"].items()},
+        )
+        emb = emb[: item["valid"]]
+        vn = flatten_heads(emb)
+        blocks.append(np.asarray(_flat_scores_block(tn, vn, heads)))
+        vis_ids.extend(item["ids"])
+    return np.concatenate(blocks, axis=1), vis_ids
+
+
+# galleries above this stream through score_matrix_streaming instead of
+# caching embeddings (reference threshold 5e4, model/model.py:1020);
+# overridable for testing and small-HBM deployments
+import os as _os
+
+LARGE_GALLERY = int(_os.environ.get("LAFF_TPU_LARGE_GALLERY", 50_000))
+
+
 def validate(
     embedder: Embedder,
     txt_feed: EvalFeed,

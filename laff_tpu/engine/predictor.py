@@ -27,12 +27,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import EvalFeed
-from ..eval.metrics import eval_label_matrix, metrics_from_ranks
+from ..eval.metrics import metrics_from_ranks
 from ..models import LAFFModel
 from ..utils import ROOT_PATH, check_to_skip, get_logger, makedirs
 
 from .checkpoint import load_checkpoint
-from .evaluator import Embedder, score_matrix, t2v_ranks
+from .evaluator import (
+    LARGE_GALLERY,
+    Embedder,
+    score_matrix,
+    score_matrix_streaming,
+    t2v_ranks,
+)
 
 logger = get_logger(__name__)
 
@@ -305,16 +311,22 @@ def main(opt: PredictOptions) -> Dict:
         vis_feed, txt_feed, tsrc, vis_ids = build_test_feeds(
             opt, config, query_set, featurizers
         )
-        if vis_embs is None:  # cache across query sets (record_emb parity)
-            vis_embs, vis_ids = embedder.embed_vis(vis_feed)
         txt_embs, txt_ids = embedder.embed_txt(txt_feed)
-        scores = score_matrix(txt_embs, vis_embs)
+        if len(vis_ids) > LARGE_GALLERY:
+            # AVS-scale gallery: stream blocks, never cache embeddings
+            # (reference predict_batch path)
+            scores, vis_ids = score_matrix_streaming(embedder, txt_embs, vis_feed)
+            vis_embs = None
+        else:
+            if vis_embs is None:  # cache across query sets (record_emb parity)
+                vis_embs, vis_ids = embedder.embed_vis(vis_feed)
+            scores = score_matrix(txt_embs, vis_embs)
 
         if opt.rerank != "none":
             scores = apply_rerank(opt.rerank, scores, txt_embs, vis_embs)
 
         if coll not in AVS_COLLECTIONS and query_set != "simple_query.txt":
-            if opt.rerank != "none":
+            if opt.rerank != "none" or vis_embs is None:
                 from ..eval.metrics import eval_t2v
 
                 t2v = eval_t2v(scores, txt_ids, vis_ids)
@@ -342,7 +354,7 @@ def main(opt: PredictOptions) -> Dict:
                 "%s t2v r1=%.2f r5=%.2f r10=%.2f medr=%.0f mir=%.4f",
                 query_set, t2v[0], t2v[1], t2v[2], t2v[3], t2v[5],
             )
-            if opt.each_head and txt_embs.ndim == 3:
+            if opt.each_head and txt_embs.ndim == 3 and vis_embs is not None:
                 from ..eval.metrics import eval_t2v
 
                 head_scores = per_head_scores(txt_embs, vis_embs)

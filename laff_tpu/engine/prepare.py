@@ -83,10 +83,6 @@ def load_config(config_name: str):
     raise last
 
 
-class _NoEncoder:
-    ndims = 0
-
-
 def model_dir_for(opt) -> str:
     """<root>/<train>/w2vvpp_train/<val>/<val_set>/<config>/<prefix>
     (reference ``trainer.py:88-92``)."""

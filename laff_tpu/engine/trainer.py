@@ -20,11 +20,9 @@ early stop) re-designed for TPU:
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import asdict
-from functools import partial
 from typing import Any, Dict, Optional
 
 import flax

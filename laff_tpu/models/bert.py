@@ -11,8 +11,6 @@ the headline configs.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..utils import get_logger

@@ -11,7 +11,7 @@ transposes only.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ CLIP parameters is implemented in the trainer via an optax label mask.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -25,7 +25,7 @@ we do NOT reproduce; we use each sample's own mask.)
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import flax.linen as nn
 import jax

@@ -29,7 +29,6 @@ laff_tpu.eval stays the bit-exact parity reference.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

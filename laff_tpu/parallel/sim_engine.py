@@ -15,15 +15,13 @@ same code executes on one chip (trivial mesh) or a pod slice.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.norms import l2norm
 from ..ops.pallas_kernels import flatten_heads
 
 

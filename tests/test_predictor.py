@@ -108,3 +108,37 @@ def test_predict_skip_guard(trained_world):
     results = predict_main(opt)
     assert results == {}
     assert open(os.path.join(out_dir, "id.sent.score.txt")).read() == "sentinel"
+
+
+def test_streaming_gallery_path(trained_world, monkeypatch):
+    """Galleries above LARGE_GALLERY stream through blockwise scoring and
+    produce the same metrics as the cached path."""
+    import laff_tpu.engine.evaluator as EV
+    import laff_tpu.engine.predictor as P
+
+    root, model_path = trained_world
+    opt = PredictOptions(
+        testCollection="toytest",
+        model_path=os.path.join(model_path, "model_best.pth.tar"),
+        sim_name="stream_run",
+        rootpath=root,
+        query_sets="toytest.caption.txt",
+        predict_result_file=os.path.join(root, "result_log", "stream.txt"),
+        batch_size=8,
+        overwrite=1,
+    )
+    cached = predict_main(opt)["toytest.caption.txt"]["t2v"]
+
+    monkeypatch.setattr(P, "LARGE_GALLERY", 5)  # force streaming
+    opt2 = PredictOptions(
+        testCollection="toytest",
+        model_path=os.path.join(model_path, "model_best.pth.tar"),
+        sim_name="stream_run2",
+        rootpath=root,
+        query_sets="toytest.caption.txt",
+        predict_result_file=os.path.join(root, "result_log", "stream2.txt"),
+        batch_size=8,
+        overwrite=1,
+    )
+    streamed = P.main(opt2)["toytest.caption.txt"]["t2v"]
+    np.testing.assert_allclose(streamed, cached, rtol=1e-5, atol=1e-6)
