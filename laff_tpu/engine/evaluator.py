@@ -67,6 +67,18 @@ def _scores_block(txt_embs: jnp.ndarray, vis_embs: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def _hist_scores_block(txt_embs: jnp.ndarray, vis_embs: jnp.ndarray) -> jnp.ndarray:
+    """Jaccard ('hist') measure (reference get_txt2vis_matrix with
+    measure='hist'); per-head mean for multi-space embeddings."""
+    from ..ops import hist_sim
+
+    if txt_embs.ndim == 3:
+        sims = jax.vmap(hist_sim, in_axes=(1, 1))(txt_embs, vis_embs)
+        return jnp.mean(sims, axis=0)
+    return hist_sim(txt_embs, vis_embs)
+
+
+@jax.jit
 def _flat_scores_block(tn: jnp.ndarray, vn: jnp.ndarray, heads: int) -> jnp.ndarray:
     """Pre-normalized flattened embeddings -> mean-of-cosines scores."""
     return jnp.dot(tn, vn.T, preferred_element_type=jnp.float32) / heads
@@ -76,16 +88,20 @@ def score_matrix(
     txt_embs: jnp.ndarray,
     vis_embs: jnp.ndarray,
     block: int = 8192,
+    measure: str = "cosine",
 ) -> np.ndarray:
     """Full (T, V) similarity matrix, computed in device blocks over the
     text axis to bound HBM."""
+    fn = _hist_scores_block if measure == "hist" else _scores_block
+    if measure == "hist":
+        block = min(block, 512)  # hist materializes (B, V, D) intermediates
     n = txt_embs.shape[0]
     if n <= block:
-        return np.asarray(_scores_block(txt_embs, vis_embs))
+        return np.asarray(fn(txt_embs, vis_embs))
     out = np.empty((n, vis_embs.shape[0]), dtype=np.float32)
     for start in range(0, n, block):
         stop = min(start + block, n)
-        out[start:stop] = np.asarray(_scores_block(txt_embs[start:stop], vis_embs))
+        out[start:stop] = np.asarray(fn(txt_embs[start:stop], vis_embs))
     return out
 
 
@@ -95,6 +111,7 @@ def t2v_ranks(
     txt_ids: List[str],
     vis_ids: List[str],
     block: int = 8192,
+    measure: str = "cosine",
 ) -> np.ndarray:
     """1-based ranks of the ground-truth video per caption, computed fully
     on device (scores + counting), never materializing host-side argsorts.
@@ -106,6 +123,17 @@ def t2v_ranks(
 
     vid_index = {v: i for i, v in enumerate(vis_ids)}
     gt = np.asarray([vid_index[t.split("#")[0]] for t in txt_ids], dtype=np.int32)
+    if measure == "hist":
+        block = min(block, 512)
+        n = txt_embs.shape[0]
+        ranks = np.empty((n,), dtype=np.int32)
+        for start in range(0, n, block):
+            stop = min(start + block, n)
+            scores = _hist_scores_block(txt_embs[start:stop], vis_embs)
+            ranks[start:stop] = np.asarray(
+                ranks_from_scores_device(scores, jnp.asarray(gt[start:stop]))
+            )
+        return ranks
     heads = txt_embs.shape[1] if txt_embs.ndim == 3 else 1
     tn = flatten_heads(txt_embs)
     vn = flatten_heads(vis_embs)
@@ -160,12 +188,13 @@ def validate(
     txt_feed: EvalFeed,
     vis_feed: EvalFeed,
     txt_ids_all: Optional[List[str]] = None,
+    measure: str = "cosine",
 ) -> Dict[str, float]:
     """Text->video metrics over a validation split. Returns the reference
     metric dict (r1/r5/r10/medr/meanr/mir/mAP)."""
     vis_embs, vis_ids = embedder.embed_vis(vis_feed)
     txt_embs, txt_ids = embedder.embed_txt(txt_feed)
-    ranks = t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids)
+    ranks = t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids, measure=measure)
     r1, r5, r10, medr, meanr, mir, mAP = metrics_from_ranks(ranks)
     return {
         "r1": r1, "r5": r5, "r10": r10, "medr": medr,

@@ -311,6 +311,7 @@ def main(opt: PredictOptions) -> Dict:
         vis_feed, txt_feed, tsrc, vis_ids = build_test_feeds(
             opt, config, query_set, featurizers
         )
+        measure = getattr(config, "measure", "cosine")
         txt_embs, txt_ids = embedder.embed_txt(txt_feed)
         if len(vis_ids) > LARGE_GALLERY:
             # AVS-scale gallery: stream blocks, never cache embeddings
@@ -320,7 +321,7 @@ def main(opt: PredictOptions) -> Dict:
         else:
             if vis_embs is None:  # cache across query sets (record_emb parity)
                 vis_embs, vis_ids = embedder.embed_vis(vis_feed)
-            scores = score_matrix(txt_embs, vis_embs)
+            scores = score_matrix(txt_embs, vis_embs, measure=measure)
 
         if opt.rerank != "none":
             scores = apply_rerank(opt.rerank, scores, txt_embs, vis_embs)
@@ -331,7 +332,8 @@ def main(opt: PredictOptions) -> Dict:
 
                 t2v = eval_t2v(scores, txt_ids, vis_ids)
             else:
-                ranks = t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids)
+                ranks = t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids,
+                                  measure=measure)
                 t2v = metrics_from_ranks(ranks)
             result_dir = os.path.dirname(opt.predict_result_file)
             result_name = os.path.basename(opt.predict_result_file)

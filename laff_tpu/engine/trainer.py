@@ -419,7 +419,8 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             eval_vars["batch_stats"] = state.batch_stats
         if state.schedule:
             eval_vars["schedule"] = state.schedule
-        metrics = validate(Embedder(model, eval_vars), val_txt_feed, val_vis_feed)
+        metrics = validate(Embedder(model, eval_vars), val_txt_feed, val_vis_feed,
+                           measure=spec.measure)
         cur_perf = metrics[opt.metric]
         for tag in ("r1", "r5", "r10", "medr", "meanr", "mir", "mAP"):
             scalar_log.add_scalar(f"val/{tag}", metrics[tag], epoch)

@@ -76,3 +76,35 @@ def test_bigru_shape(rng):
     variables = mod.init(jax.random.key(2), ids, lengths)
     out = mod.apply(variables, ids, lengths)
     assert out.shape == (3, 16)
+
+
+def test_bigru_matches_torch(rng):
+    """Bidirectional GRU with mean pooling vs torch, including reverse
+    direction semantics on padded batches."""
+    vocab, we_dim, rnn_size, t = 20, 10, 12, 6
+    we = rng.standard_normal((vocab, we_dim)).astype(np.float32)
+    lengths = np.array([6, 2, 4], dtype=np.int32)
+    ids = np.zeros((3, t), dtype=np.int32)
+    for i, ln in enumerate(lengths):
+        ids[i, :ln] = rng.integers(1, vocab, ln)
+
+    gru = torch.nn.GRU(we_dim, rnn_size, 1, batch_first=True, bidirectional=True)
+    theirs = _torch_gru_mean(ids, lengths, we, gru, pooling="mean")
+
+    spec = GruSpec(vocab_size=vocab, we_dim=we_dim, rnn_size=rnn_size,
+                   pooling="mean", bidirectional=True)
+    mod = GruEncoder(spec, word_embeddings=we)
+    variables = mod.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(lengths))
+    params = dict(variables["params"])
+    params["w_ih_l0"] = jnp.asarray(gru.weight_ih_l0.detach().numpy())
+    params["w_hh_l0"] = jnp.asarray(gru.weight_hh_l0.detach().numpy())
+    params["b_ih_l0"] = jnp.asarray(gru.bias_ih_l0.detach().numpy())
+    params["b_hh_l0"] = jnp.asarray(gru.bias_hh_l0.detach().numpy())
+    params["w_ih_l0_rev"] = jnp.asarray(gru.weight_ih_l0_reverse.detach().numpy())
+    params["w_hh_l0_rev"] = jnp.asarray(gru.weight_hh_l0_reverse.detach().numpy())
+    params["b_ih_l0_rev"] = jnp.asarray(gru.bias_ih_l0_reverse.detach().numpy())
+    params["b_hh_l0_rev"] = jnp.asarray(gru.bias_hh_l0_reverse.detach().numpy())
+    ours = np.asarray(
+        mod.apply({"params": params}, jnp.asarray(ids), jnp.asarray(lengths))
+    )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)

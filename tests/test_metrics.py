@@ -88,3 +88,33 @@ def test_metrics_from_ranks():
         np.array([[1, 0, 0, 0], [0, 0, 1, 0], [0, 1, 0, 0]])
     )
     np.testing.assert_allclose(out, ref)
+
+
+def test_hist_measure_eval_path(rng):
+    """measure='hist' flows through score_matrix / t2v_ranks consistently
+    with the loss-side hist_sim."""
+    import jax.numpy as jnp
+
+    from laff_tpu.engine.evaluator import score_matrix, t2v_ranks
+    from laff_tpu.ops import hist_sim
+
+    t = jnp.asarray(np.abs(rng.standard_normal((10, 8))).astype(np.float32))
+    v = jnp.asarray(np.abs(rng.standard_normal((6, 8))).astype(np.float32))
+    scores = score_matrix(t, v, measure="hist")
+    np.testing.assert_allclose(scores, np.asarray(hist_sim(t, v)), rtol=1e-5)
+
+    txt_ids = [f"v{i % 6}#0" for i in range(10)]
+    vis_ids = [f"v{i}" for i in range(6)]
+    ranks = t2v_ranks(t, v, txt_ids, vis_ids, measure="hist")
+    gt = np.array([i % 6 for i in range(10)])
+    expected = 1 + (scores > scores[np.arange(10), gt][:, None]).sum(1)
+    np.testing.assert_array_equal(ranks, expected)
+
+    # multi-head hist: per-head mean
+    t3 = jnp.asarray(np.abs(rng.standard_normal((4, 2, 8))).astype(np.float32))
+    v3 = jnp.asarray(np.abs(rng.standard_normal((5, 2, 8))).astype(np.float32))
+    s3 = score_matrix(t3, v3, measure="hist")
+    manual = np.mean(
+        [np.asarray(hist_sim(t3[:, h], v3[:, h])) for h in range(2)], axis=0
+    )
+    np.testing.assert_allclose(s3, manual, rtol=1e-5)
