@@ -306,9 +306,14 @@ class ScalarLogger:
 
 def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
                     log_every: int = 50):
+    """One epoch. Losses stay on device until logging points — reading a
+    scalar every step costs a host round trip that can dominate wall
+    clock (observed 40ms step -> 500ms with per-step float(loss))."""
     meter = AverageMeter()
     progress = Progress(feed.steps_per_epoch() * feed.batch_size, f"epoch {epoch}")
     rng = jax.random.key(epoch)
+    pending = []  # device loss values awaiting host readback
+    step0 = int(state.step)
     for i, batch in enumerate(Prefetcher(feed.epoch(epoch), depth=3)):
         txt = {k: jnp.asarray(v) for k, v in batch["txt"].items()}
         vis = {k: jnp.asarray(v) for k, v in batch["vis"].items()}
@@ -328,10 +333,23 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
             )
         else:
             state, loss = train_step(state, txt, vis, step_rng)
-        meter.update(float(loss))
+        pending.append(loss)
         progress.add(feed.batch_size)
-        if logger_ is not None and i % log_every == 0:
-            logger_.add_scalar("train/Loss", float(loss), int(state.step))
+        if len(pending) >= log_every:
+            vals = np.asarray(jnp.stack(pending))  # one sync per log_every
+            for v in vals:
+                meter.update(float(v))
+            if logger_ is not None:
+                logger_.add_scalar(
+                    "train/Loss", float(vals[-1]), step0 + i + 1
+                )
+            pending = []
+    if pending:
+        vals = np.asarray(jnp.stack(pending))
+        for v in vals:
+            meter.update(float(v))
+        if logger_ is not None:
+            logger_.add_scalar("train/Loss", float(vals[-1]), int(state.step))
     return state, meter.avg
 
 

@@ -95,3 +95,30 @@ def test_lr_controller_matches_torch_semantics():
     ctl.step(0.5)  # no improvement (3) > patience -> halve
     assert ctl.plateau_scale == 0.5
     assert ctl.current() == 1.0 * 0.5**4 * 0.5
+
+
+def test_frame_laff_end_to_end(tmp_path):
+    """FrameLAFF (two-level fusion) trains end to end through prepare ->
+    trainer with frame features on disk."""
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=24, caps_per_video=2, seed=0,
+                     frame_feat=True)
+    build_collection(root, "toyval", n_videos=12, caps_per_video=1, seed=5,
+                     frame_feat=True)
+    build_w2v(root)
+    # frame features live under FeatureData/frame/<name>
+    import shutil
+
+    for coll in ("toytrain", "toyval"):
+        src = os.path.join(root, coll, "FeatureData", "clip_frames")
+        dst = os.path.join(root, coll, "FeatureData", "frame", "clip_frames")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+
+    opt = make_opt(root, config_name="tiny_frame", num_epochs=3, batch_size=12,
+                   model_prefix="run_frame")
+    result = main(opt)
+    assert result["best_perf"] > 0.2, result
+    # checkpoint spec carries the frame features
+    ckpt = load_checkpoint(os.path.join(result["model_path"], "model_best.pth.tar"))
+    assert dict(ckpt["spec"].vis.frame_features) == {"clip_frames": 16}
