@@ -48,6 +48,14 @@ def main(argv=None):
     best = os.path.join(model_dir_for(opt), "model_best.pth.tar")
     if check_to_skip(best, opt.overwrite):
         return 0
+    from laff_tpu.engine.prepare import load_config
+
+    config = load_config(opt.config_name)
+    if getattr(config, "model_name", "") == "End2EndClip":
+        from laff_tpu.engine import end2end
+
+        end2end.main(opt)
+        return 0
     from laff_tpu.engine import trainer
 
     trainer.main(opt)
