@@ -79,6 +79,7 @@ def retrieval_task(sweep: SweepOptions) -> Dict[str, Dict]:
                 train_result = {"model_path": model_dir_for(opt), "skipped": True}
             else:
                 train_result = trainer.main(opt)
+            model_dir = model_dir_for(opt)
 
             train_tag = sweep.trainCollection
             if sweep.trainCollection2 != "None":
@@ -89,21 +90,33 @@ def retrieval_task(sweep: SweepOptions) -> Dict[str, Dict]:
             sim_parts.append(sweep.config_name)
             sim_name = os.path.join(*sim_parts)
 
-            popt = PredictOptions(
-                testCollection=sweep.testCollection,
-                model_path=best_ckpt,
-                sim_name=sim_name,
-                rootpath=sweep.rootpath,
-                overwrite=1,
-                query_sets=(
-                    sweep.avs_query_sets
-                    or f"{sweep.testCollection}.caption.txt"
-                ),
-                predict_result_file=sweep.result_file,
-                batch_size=max(sweep.batch_size, 256),
-            )
-            pred = predict_main(popt)
-            results[prefix] = {"train": train_result, "predict": pred}
+            # evaluate every requested checkpoint (reference avs_task.sh
+            # loops model_best and mean_last10, avs_task.sh:169-259)
+            preds = {}
+            for ckpt_name in sweep.checkpoints:
+                ckpt_path = os.path.join(model_dir, ckpt_name)
+                if not os.path.exists(ckpt_path):
+                    logger.info("checkpoint %s absent; skipping", ckpt_path)
+                    continue
+                tag = ckpt_name.replace(".pth.tar", "")
+                popt = PredictOptions(
+                    testCollection=sweep.testCollection,
+                    model_path=ckpt_path,
+                    sim_name=os.path.join(sim_name, tag) if len(
+                        sweep.checkpoints) > 1 else sim_name,
+                    rootpath=sweep.rootpath,
+                    overwrite=1,
+                    query_sets=(
+                        sweep.avs_query_sets
+                        or f"{sweep.testCollection}.caption.txt"
+                    ),
+                    predict_result_file=sweep.result_file,
+                    batch_size=max(sweep.batch_size, 256),
+                )
+                preds[tag] = predict_main(popt)
+            pred = preds.get("model_best", next(iter(preds.values())) if preds else {})
+            results[prefix] = {"train": train_result, "predict": pred,
+                               "predict_all": preds}
     return results
 
 

@@ -1,0 +1,78 @@
+"""Sweep orchestration: retrieval_task and AVS mode with the full
+txt2xml -> xinfAP chain on a synthetic AVS world."""
+
+import os
+
+import numpy as np
+import pytest
+
+from laff_tpu.engine.orchestrate import SweepOptions, avs_task, retrieval_task
+
+from helpers import build_collection, build_w2v
+
+
+@pytest.fixture
+def sweep_world(tmp_path):
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=24, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=12, caps_per_video=1, seed=5)
+    build_collection(root, "toytest", n_videos=20, caps_per_video=1, seed=9)
+    build_w2v(root)
+    return root
+
+
+def test_retrieval_task_sweep(sweep_world):
+    sweep = SweepOptions(
+        trainCollection="toytrain", valCollection="toyval",
+        testCollection="toytest", rootpath=sweep_world, config_name="tiny",
+        parm_adjust_configs=["None"], random_seeds=[2], val_set="no",
+        batch_size=12, num_epochs=2, overwrite=1,
+        result_file=os.path.join(sweep_world, "result_log", "sweep.txt"),
+    )
+    results = retrieval_task(sweep)
+    key = "runs_None_seed_2"
+    assert key in results
+    assert "t2v" in results[key]["predict"]["toytest.caption.txt"]
+
+
+def test_avs_task_end_to_end(sweep_world, monkeypatch):
+    """Full AVS chain: train -> score file -> XML -> treceval -> infAP."""
+    import laff_tpu.engine.predictor as P
+
+    monkeypatch.setattr(P, "AVS_COLLECTIONS", ("toytest",))
+
+    # topics + qrels for a tiny 'edition'
+    tdir = os.path.join(sweep_world, "toytest", "TextData")
+    with open(os.path.join(tdir, "tv99.avs.txt"), "w") as fh:
+        for i in range(4):
+            fh.write(f"9{i:02d} synthetic topic {i}\n")
+    # captions file named like a query set; reuse topic ids as txt ids
+    with open(os.path.join(tdir, "tv99.queries.txt"), "w") as fh:
+        from helpers import WORDS
+
+        for i in range(4):
+            fh.write(f"9{i:02d} the {' '.join(WORDS[i:i+4])}\n")
+    rng = np.random.default_rng(0)
+    with open(os.path.join(tdir, "avs.qrels.tv99"), "w") as fh:
+        for i in range(4):
+            for v in range(20):
+                rel = int(rng.random() < 0.3)
+                fh.write(f"19{i:02d} 0 video{v} 1 {rel}\n")
+
+    sweep = SweepOptions(
+        trainCollection="toytrain", valCollection="toyval",
+        testCollection="toytest", rootpath=sweep_world, config_name="tiny",
+        parm_adjust_configs=["None"], random_seeds=[2], val_set="no",
+        batch_size=12, num_epochs=2, overwrite=1,
+        result_file=os.path.join(sweep_world, "result_log", "avs.txt"),
+        avs_query_sets="tv99.queries.txt",
+        avs_editions=["tv99"],
+    )
+    # map the query-set name to the tv99 edition (edition = prefix before '.')
+    results = avs_task(sweep)
+    key = "runs_None_seed_2"
+    score_file = results[key]["predict"]["tv99.queries.txt"]["score_file"]
+    assert os.path.exists(score_file)
+    assert "tv99" in results[key]["infAP"]
+    assert 0.0 <= results[key]["infAP"]["tv99"] <= 1.0
+    assert os.path.exists(score_file + ".xml")
