@@ -10,6 +10,7 @@ runs on the host for validation.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -178,9 +179,7 @@ def score_matrix_streaming(
 # galleries above this stream through score_matrix_streaming instead of
 # caching embeddings (reference threshold 5e4, model/model.py:1020);
 # overridable for testing and small-HBM deployments
-import os as _os
-
-LARGE_GALLERY = int(_os.environ.get("LAFF_TPU_LARGE_GALLERY", 50_000))
+LARGE_GALLERY = int(os.environ.get("LAFF_TPU_LARGE_GALLERY", 50_000))
 
 
 def validate(

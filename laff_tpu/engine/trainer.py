@@ -420,11 +420,17 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         scalar_log.add_scalar("train/learning_rate", lr, epoch)
         logger.info("Epoch %d/%d lr=%.6g", epoch, opt.num_epochs, lr)
 
+        profile_dir = os.environ.get("LAFF_TPU_PROFILE")
+        if profile_dir and epoch == 1:  # epoch 1: post-compile steady state
+            jax.profiler.start_trace(profile_dir)
         t0 = time.time()
         state, train_loss = train_one_epoch(
             train_step, state, prepared.train_feed, epoch, mesh=mesh,
             logger_=scalar_log,
         )
+        if profile_dir and epoch == 1:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", profile_dir)
         if prepared.train2_feed is not None:
             state, _ = train_one_epoch(
                 train_step, state, prepared.train2_feed, epoch, mesh=mesh,
