@@ -24,6 +24,11 @@ def parse_args(argv=None):
     parser.add_argument("--num_workers", default=0, type=int)
     parser.add_argument("--device", default="0", type=str)
     parser.add_argument("--task3_caption", type=str, default="no_task3_caption")
+    parser.add_argument("--each_head", type=int, default=0, choices=[0, 1],
+                        help="also dump per-space (per-head) metrics")
+    parser.add_argument("--rerank", type=str, default="none",
+                        choices=["none", "kreciprocal", "tkb"],
+                        help="post-processing re-ranking of the score matrix")
     args = parser.parse_args(argv)
     return PredictOptions(**vars(args))
 

@@ -155,6 +155,12 @@ def build_spec(
     task3: bool = False,
 ) -> LAFFSpec:
     """config + discovered feature dims -> frozen LAFFSpec."""
+    if getattr(config, "txt_fc_same_with_vis_fc", False):
+        raise NotImplementedError(
+            "txt_fc_same_with_vis_fc (cross-tower weight tying, reference "
+            "model/model.py:1954-1966) is not supported; train without the "
+            "tie or share weights offline via the torch export/import pair"
+        )
     if isinstance(config.txt_fc_layers, str):
         txt_common = int(config.txt_fc_layers.split("-")[1])
     else:

@@ -162,6 +162,16 @@ def fused_sim_rank(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, tp), jnp.int32),
         scratch_shapes=[pltpu.VMEM((1, block_t), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            # text tiles are independent; the gallery axis carries the
+            # accumulator and must run sequentially
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * tp * vp * hd,
+            bytes_accessed=(tp * hd + (tp // block_t) * vp * hd) * 2 + tp * 4,
+            transcendentals=0,
+        ),
         interpret=_interpret(),
     )(n_valid, gt[None, :], tn, vn, gt_scores[None, :])
     return ranks[0, :t]
