@@ -96,3 +96,23 @@ def test_sharded_train_step_matches_single_device(rng, mesh):
                      jax.tree_util.tree_leaves(g_sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_main_with_mesh(tmp_path, mesh):
+    """Full trainer.main with a data-parallel mesh: batches shard over dp,
+    training converges identically in character to single-device."""
+    from helpers import build_collection, build_w2v
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.trainer import main
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=32, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=16, caps_per_video=1, seed=5)
+    build_w2v(root)
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=root,
+        val_set="no", config_name="tiny", num_epochs=3, batch_size=16,
+        model_prefix="mesh_run", metric="mir",
+    )
+    result = main(opt, mesh=mesh)
+    assert result["best_perf"] > 0.2, result

@@ -199,3 +199,98 @@ def test_reference_checkpoint_embedding_parity(reference_world, rng):
             torch.from_numpy(ref_txt), torch.from_numpy(ref_vis)
         ).numpy()
     np.testing.assert_allclose(our_sims, ref_sims, rtol=1e-4, atol=1e-5)
+
+
+def test_frame_laff_reference_parity(reference_world, rng):
+    """FrameLAFF two-level fusion vs the reference W2VVPP_MutiVisFrameFeat.
+
+    All samples get the same frame count so the reference's frame-loop
+    mask bug (it reads sample 0's mask for every element,
+    model/model.py:2168) is neutral and the math is comparable."""
+    _stub_missing_deps()
+    sys.path.insert(0, "/root/reference")
+    try:
+        import importlib
+
+        ref_txt2vec = importlib.import_module("txt2vec")
+        ref_model_mod = importlib.import_module("model.model")
+    except Exception as e:
+        pytest.skip(f"reference model deps unavailable: {e}")
+    finally:
+        sys.path.remove("/root/reference")
+
+    from laff_tpu.configs.tiny import config as TinyConfig
+
+    heads, common, fdim = 2, 16, 16  # fdim %% 8 == 0: the reference builds
+    # its whole attention zoo eagerly incl. an 8-head torch MHA
+    config = TinyConfig()
+    config.model_name = "FrameLAFF"
+    config.vid_feats = ["mean_clip"]
+    config.vis_fc_layers = [{"mean_clip": fdim, "clip_frames": fdim}, common]
+    config.txt_fc_layers = [0, common]
+    config.rnn_size = 8
+    config.we_dim = 12
+    config.multi_head_attention = {"dropout": 0.0, "heads": heads,
+                                   "embed_dim_qkv": 8}
+    config.attention_param_each_head = {"with_ave": False, "mul": False,
+                                        "split_head": True}
+    config.batch_norm = True
+    config.dropout = 0.2
+    config.frame_feat_input = True
+    config.vid_frame_feats = ["clip_frames"]
+    config.vis_frame_attention = "attention_noAveNoAverageMul"
+    config.vis_frame_addFC = False
+    config.frame_feat_with_video_feat = True
+    config.max_frame = 4
+    config.t2v_bow = ref_txt2vec.BowVecNSW(reference_world["bow_path"])
+    config.t2v_idx = ref_txt2vec.IndexVec(reference_world["gru_path"])
+    config.t2v_w2v = ref_txt2vec.W2VecNSW(reference_world["w2v_dir"])
+    config.pooling = "mean"
+    config.we = torch.from_numpy(
+        np.random.default_rng(11).standard_normal(
+            (len(reference_world["gru_vocab"]), 12)
+        ).astype(np.float32)
+    )
+    config.float16 = False
+
+    torch.manual_seed(0)
+    ref_model = ref_model_mod.get_model("FrameLAFF", torch.device("cpu"), config)
+    ref_model.eval()
+
+    b, t = 4, 4
+    vis_np = {"mean_clip": rng.standard_normal((b, fdim)).astype(np.float32)}
+    frames = rng.standard_normal((b, t, fdim)).astype(np.float32)
+    mask = np.ones((b, t), np.float32)
+
+    with torch.no_grad():
+        ref_vis = ref_model.vis_net(
+            {k: torch.from_numpy(v.copy()) for k, v in vis_np.items()},
+            vis_frame_feat_dict_input={
+                "clip_frames": torch.from_numpy(frames.copy()),
+                "mask_tensor": torch.from_numpy(mask.copy()),
+            },
+        ).numpy()
+
+    import copy
+
+    config2 = copy.copy(config)
+    config2.t2v_w2v = None
+    from laff_tpu.engine.torch_import import (
+        convert_state_dict, spec_from_reference_config,
+    )
+
+    spec = spec_from_reference_config(config2)
+    assert dict(spec.vis.frame_features) == {"clip_frames": fdim}
+    params, stats, schedule = convert_state_dict(ref_model.state_dict(), spec)
+
+    ours = LAFFModel(spec)
+    variables = {"params": params, "batch_stats": stats}
+    if schedule:
+        variables["schedule"] = schedule
+    vis_batch = {
+        "mean_clip": jnp.asarray(vis_np["mean_clip"]),
+        "clip_frames@frames": jnp.asarray(frames),
+        "clip_frames@mask": jnp.asarray(mask),
+    }
+    our_vis = np.asarray(ours.apply(variables, vis_batch, method=ours.encode_vis))
+    np.testing.assert_allclose(our_vis, ref_vis, rtol=1e-4, atol=1e-5)
