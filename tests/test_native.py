@@ -75,3 +75,20 @@ def test_fastfeat_speedup():
         fast.encoding(c)
     t_py = (time.perf_counter() - t0) * 10  # extrapolate to 10k
     assert t_fast < t_py, (t_fast, t_py)
+
+
+def test_w2v_batched_matches_per_caption(tmp_path):
+    import numpy as np
+
+    from laff_tpu.store import write_bigfile
+    from laff_tpu.text import W2VecNSW
+
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(50)]
+    d = str(tmp_path / "w2v")
+    write_bigfile(d, words, rng.standard_normal((50, 8)).astype(np.float32))
+    t2v = W2VecNSW(d)
+    caps = ["w1 w2 w3", "", "w49 unknown w0", "w5 w5 w5"]
+    batched = t2v.encode_batch(caps)
+    per = np.stack([t2v.encoding(c) for c in caps]).astype(np.float32)
+    np.testing.assert_allclose(batched, per, rtol=1e-5, atol=1e-6)
