@@ -256,11 +256,37 @@ def build_test_feeds(opt: PredictOptions, config, query_set: str, featurizers):
 
 
 def rebuild_featurizers(ckpt: Dict, rootpath: str):
-    """Re-instantiate the text featurizer bank for inference from the
-    pickled config + vocab objects stored in the checkpoint."""
+    """Re-instantiate the text featurizer bank for inference. Pickled
+    featurizer objects in the config (written by prepare, mirroring the
+    reference) take priority; otherwise rebuild from the train collection
+    on disk."""
+    from ..text.txt2vec import BowVec, IndexVec, W2VecNSW
     from .prepare import build_featurizers
 
     config = ckpt["config"]
+    t2v_bow = getattr(config, "t2v_bow", None)
+    t2v_idx = getattr(config, "t2v_idx", None)
+    if isinstance(t2v_bow, BowVec) or isinstance(t2v_idx, IndexVec):
+        featurizers = {}
+        te = config.text_encoding
+        rnn_encoding = te["rnn_encoding"]["name"].split("_", 1)[0]
+        if rnn_encoding in ("gru", "bigru") and t2v_idx is not None:
+            featurizers["rnn"] = t2v_idx
+        if "no" not in te["bow_encoding"]["name"] and t2v_bow is not None:
+            featurizers["bow"] = t2v_bow
+        if "no" not in te["w2v_encoding"]["name"]:
+            w2v_dir = os.path.join(rootpath, "word2vec", "flickr",
+                                   "vec500flickr30m")
+            alt = getattr(config, "w2v_dir", None)
+            if not os.path.exists(w2v_dir) and alt:
+                w2v_dir = os.path.join(rootpath, alt)
+            featurizers["w2v"] = W2VecNSW(w2v_dir)
+        if "no" not in te["CLIP_encoding"]["name"]:
+            featurizers["clip"] = None
+        if "no" not in te["bert_encoding"]["name"]:
+            featurizers["bert"] = None
+        return featurizers
+
     opt_dict = ckpt.get("opt", {})
     train_collection = opt_dict.get("trainCollection", "")
     train_capfile = os.path.join(

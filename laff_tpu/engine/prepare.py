@@ -413,10 +413,18 @@ def prepare(opt: Options) -> Prepared:
     _, train_capfile = _collection_paths(rootpath, opt.trainCollection)
     _, val_capfile = _collection_paths(rootpath, opt.valCollection, val_set)
 
-    # visual features + dims -> config (reference trainer.py:126-157)
+    # visual features + dims -> config (reference trainer.py:126-157).
+    # REBIND (not mutate in place): the reference writes into the shared
+    # class-attribute list, so the dims never reach the pickled instance
+    # __dict__ and unpickling in a fresh process sees the '0' placeholder —
+    # the reference papers over this by re-running prepare_config before
+    # reading the checkpoint config (predictor.py:432).
     train_vis = _open_vis_files(rootpath, opt.trainCollection, config.vid_feats)
     val_vis = _open_vis_files(rootpath, opt.valCollection, config.vid_feats)
-    config.vis_fc_layers[0] = {n: f.ndims for n, f in train_vis.items()}
+    config.vis_fc_layers = [
+        {n: f.ndims for n, f in train_vis.items()},
+        int(config.vis_fc_layers[1]),
+    ]
     vis_dims = dict(config.vis_fc_layers[0])
     if config.vis_feat_add_concat:
         config.vis_fc_layers[0]["vis_feat_add_concat"] = int(
@@ -445,6 +453,15 @@ def prepare(opt: Options) -> Prepared:
     task3_enabled = getattr(opt, "task3_caption", "no_task3_caption") != "no_task3_caption"
     spec = build_spec(config, vis_dims, txt_dims, gru_spec, frame_dims,
                       task3=task3_enabled)
+
+    # pickle the featurizer objects into the config, as the reference does
+    # (trainer.py:182-214): checkpoints become self-describing, so both our
+    # loader and torch-export round trips can rebuild vocabularies without
+    # the original collection on disk (t2v_w2v stays None'd like the
+    # reference, trainer.py:403)
+    config.t2v_bow = featurizers.get("bow")
+    config.t2v_idx = featurizers.get("rnn")
+    config.t2v_w2v = None
 
     # feeds
     train_ids = read_video_set(

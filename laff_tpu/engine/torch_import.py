@@ -216,12 +216,68 @@ def convert_state_dict(sd: Dict, spec) -> Tuple[Dict, Dict, Dict]:
     return params, stats, schedule
 
 
-def spec_from_reference_config(config):
+def _vis_dims_from_state_dict(sd, config):
+    """Recover per-feature visual dims from a reference state dict.
+
+    Real released reference checkpoints need this: the trainer writes the
+    dims dict with ``config.vis_fc_layers[0] = {...}`` (trainer.py:130),
+    which mutates the shared *class* attribute in place — it never enters
+    the pickled instance ``__dict__``, so unpickling in a fresh process
+    yields the pristine ``['0', N]`` placeholder. The reference papers over
+    this by re-running prepare_config before touching the checkpoint config
+    (predictor.py); we instead read the dims off the weights:
+
+    - transformed features: ``fc1.weight`` is (common, raw) -> raw = shape[1]
+    - no_transform features: TransformNet(fc=False, batch_norm=True) over the
+      input repeated ``heads`` times (model.py:1804-1805, 1822-1823), so
+      ``bn1.running_mean`` has width raw*heads.
+    """
+    heads = 1
+    mha = getattr(config, "multi_head_attention", None)
+    if isinstance(mha, dict):
+        heads = int(mha.get("heads", 1))
+    no_transform = set(getattr(config, "vis_no_transform", ()) or ())
+    dims = {}
+    # same layout autodetect as convert_state_dict: FrameLAFF nests the
+    # per-feature transforms directly under vis_net.<feat>.*
+    if any(k.startswith("vis_net.vis_attention_layer.") for k in sd):
+        prefix = "vis_net."
+    else:
+        prefix = "vis_net.VisMutiTransformNet."
+    for key, w in sd.items():
+        if not key.startswith(prefix):
+            continue
+        name, _, rest = key[len(prefix):].partition(".")
+        if rest == "fc1.weight":
+            dims[name] = int(w.shape[1])
+        elif rest == "bn1.running_mean" and name not in dims:
+            div = heads if name in no_transform else 1
+            dims[name] = int(w.shape[0]) // max(div, 1)
+    # a transformed feature has both keys; fc1 (unconditional above) wins
+    return dims
+
+
+def spec_from_reference_config(config, state_dict=None):
     """Rebuild a LAFFSpec from a reference pickled config object (dims were
-    mutated into it before checkpointing, reference trainer.py:126-214)."""
+    mutated into it before checkpointing, reference trainer.py:126-214).
+
+    When the pickled config carries the un-mutated ``['0', N]`` class-attr
+    placeholder instead of the dims dict (every checkpoint the reference
+    itself produces — see _vis_dims_from_state_dict), the dims are
+    recovered from ``state_dict`` weight shapes.
+    """
     from .prepare import build_spec
 
-    vis_all = dict(config.vis_fc_layers[0])
+    raw = config.vis_fc_layers[0]
+    if isinstance(raw, dict):
+        vis_all = dict(raw)
+    elif state_dict is not None:
+        vis_all = _vis_dims_from_state_dict(state_dict, config)
+    else:
+        raise ValueError(
+            "config.vis_fc_layers[0] is the un-mutated placeholder "
+            f"({raw!r}) and no state_dict was given to recover dims from"
+        )
     frame_dims = {}
     if getattr(config, "frame_feat_input", False):
         for n in config.vid_frame_feats:
@@ -236,7 +292,12 @@ def spec_from_reference_config(config):
     te = config.text_encoding
     rnn_encoding, pooling = te["rnn_encoding"]["name"].split("_", 1)
     if rnn_encoding in ("gru", "bigru"):
-        vocab_size = len(config.t2v_idx.vocab) if getattr(config, "t2v_idx", None) else 0
+        if getattr(config, "t2v_idx", None):
+            vocab_size = len(config.t2v_idx.vocab)
+        elif state_dict is not None and "txt_net.encoder.rnn_encoder.we.weight" in state_dict:
+            vocab_size = int(state_dict["txt_net.encoder.rnn_encoder.we.weight"].shape[0])
+        else:
+            vocab_size = 0
         txt_dims["rnn"] = config.rnn_size * (2 if rnn_encoding == "bigru" else 1)
         gru_spec = GruSpec(
             vocab_size=vocab_size, we_dim=config.we_dim,
@@ -246,11 +307,30 @@ def spec_from_reference_config(config):
     if "no" not in te["bert_encoding"]["name"]:
         txt_dims["bert"] = config.bert_size
     if "no" not in te["bow_encoding"]["name"]:
-        txt_dims["bow"] = config.t2v_bow.ndims
-    if "no" not in te["w2v_encoding"]["name"]:
-        txt_dims["w2v"] = 500
+        _bow_key = "txt_net.transform_layer.bow_encoder_transform.fc1.weight"
+        if getattr(config, "t2v_bow", None) is not None:
+            txt_dims["bow"] = config.t2v_bow.ndims
+        elif state_dict is not None and _bow_key in state_dict:
+            txt_dims["bow"] = int(state_dict[_bow_key].shape[1])
+        else:
+            raise ValueError("cannot determine bow dim: no t2v_bow in config "
+                             "and no bow fc1 weight in state dict")
     if "no" not in te["CLIP_encoding"]["name"]:
         txt_dims["clip"] = config.clip_opt["size"]
+    if "no" not in te["w2v_encoding"]["name"]:
+        # t2v_w2v is None'd before checkpointing (trainer.py:403); read the
+        # width off the transform weight, else infer it from the concat dim
+        # the trainer wrote into the config (rebound -> survives pickling)
+        _w2v_key = "txt_net.transform_layer.w2v_encoder_transform.fc1.weight"
+        total = config.txt_fc_layers[0] if isinstance(
+            config.txt_fc_layers, (list, tuple)) else 0
+        known = sum(txt_dims.values())
+        if state_dict is not None and _w2v_key in state_dict:
+            txt_dims["w2v"] = int(state_dict[_w2v_key].shape[1])
+        elif total > known:
+            txt_dims["w2v"] = total - known
+        else:
+            txt_dims["w2v"] = 500
 
     return build_spec(config, vis_all, txt_dims, gru_spec, frame_dims)
 
@@ -263,7 +343,7 @@ def load_torch_checkpoint(path: str) -> Dict:
     _alias_reference_modules()
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     config = ckpt["config"]
-    spec = spec_from_reference_config(config)
+    spec = spec_from_reference_config(config, state_dict=ckpt["model"])
     params, stats, schedule = convert_state_dict(ckpt["model"], spec)
     opt = ckpt.get("opt")
     opt_dict = vars(opt) if opt is not None and not isinstance(opt, dict) else (opt or {})

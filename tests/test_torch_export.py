@@ -131,3 +131,45 @@ def test_exported_checkpoint_loads_into_reference_model(rng, tmp_path_factory):
             {k: torch.from_numpy(v) for k, v in vis_np.items()}
         ).numpy()
     np.testing.assert_allclose(our_vis_emb, ref_vis_emb, rtol=1e-4, atol=1e-5)
+
+
+def test_cli_predict_on_exported_torch_checkpoint(tmp_path):
+    """Train -> export to reference torch format -> do_predictor CLI on the
+    exported .pth.tar (sniffed + imported) reproduces the native metrics."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from helpers import build_collection, build_w2v
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.checkpoint import load_checkpoint
+    from laff_tpu.engine.predictor import PredictOptions, main as predict_main
+    from laff_tpu.engine.torch_export import save_torch_checkpoint
+    from laff_tpu.engine.trainer import main as train_main
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=24, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=12, caps_per_video=1, seed=5)
+    build_collection(root, "toytest", n_videos=16, caps_per_video=1, seed=9)
+    build_w2v(root)
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=root,
+        val_set="no", config_name="tiny", num_epochs=3, batch_size=12,
+        model_prefix="xport",
+    )
+    result = train_main(opt)
+    native_ckpt = os.path.join(result["model_path"], "model_best.pth.tar")
+
+    torch_path = os.path.join(root, "exported.pth.tar")
+    save_torch_checkpoint(load_checkpoint(native_ckpt), torch_path)
+
+    def predict(path, sim):
+        return predict_main(PredictOptions(
+            testCollection="toytest", model_path=path, sim_name=sim,
+            rootpath=root, query_sets="toytest.caption.txt", batch_size=16,
+            overwrite=1,
+            predict_result_file=os.path.join(root, "result_log", sim + ".txt"),
+        ))["toytest.caption.txt"]["t2v"]
+
+    native = predict(native_ckpt, "native")
+    roundtrip = predict(torch_path, "roundtrip")
+    np.testing.assert_allclose(roundtrip, native, rtol=1e-4, atol=1e-4)

@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from laff_tpu.engine.checkpoint import load_checkpoint
@@ -218,3 +219,50 @@ def test_full_torch_checkpoint_roundtrip(tmp_path, rng):
     vis_emb = model.apply(variables, vis_batch, method=model.encode_vis)
     assert np.isfinite(np.asarray(vis_emb)).all()
     assert vis_emb.shape == (b, HEADS, COMMON // HEADS)
+
+
+def test_spec_recovery_from_placeholder_config(rng):
+    """Checkpoints the reference itself produces pickle the config with the
+    un-mutated ['0', N] class-attribute placeholder in vis_fc_layers: the
+    trainer writes ``config.vis_fc_layers[0] = {...}`` (trainer.py:130),
+    mutating the shared class list in place, so the dims never reach the
+    instance __dict__ and are lost on unpickle. spec_from_reference_config
+    must recover every dim from the state-dict weight shapes instead."""
+    from laff_tpu.configs.tiny import config as TinyConfig
+
+    sd = reference_style_state_dict(rng)
+    cfg = TinyConfig()
+    assert cfg.vis_fc_layers[0] == "0"  # pristine placeholder
+    assert isinstance(cfg.txt_fc_layers, str)
+    assert not hasattr(cfg, "t2v_bow") and not hasattr(cfg, "t2v_idx")
+
+    spec = spec_from_reference_config(cfg, state_dict=sd)
+    assert dict(spec.vis.features) == dict(VIS_FEATS)
+    assert dict(spec.txt.features) == {"rnn": 8, "bow": 20, "w2v": 10}
+    assert spec.txt.gru.vocab_size == 30
+
+    with pytest.raises(ValueError):
+        spec_from_reference_config(TinyConfig())  # no state dict to read
+
+
+def test_spec_recovery_no_transform_bn_width(rng):
+    """no_transform features have no fc1; their dim comes from the BN width
+    divided by heads (the reference repeats the input `heads` times before
+    the fc-less TransformNet, model.py:1804-1805, 1822-1823)."""
+    from laff_tpu.configs.tiny import config as TinyConfig
+
+    sd = reference_style_state_dict(rng)
+    raw = 20
+    width = raw * HEADS
+    for stat in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"vis_net.VisMutiTransformNet.notr.bn1.{stat}"] = torch.from_numpy(
+            np.abs(rng.standard_normal(width)).astype(np.float32) + 0.5
+        )
+
+    class cfg_cls(TinyConfig):
+        vid_feats = ["clip_ft", "x3d", "notr"]
+        vis_no_transform = ["notr"]
+
+    spec = spec_from_reference_config(cfg_cls(), state_dict=sd)
+    assert dict(spec.vis.features)["notr"] == raw
+    assert dict(spec.vis.features)["clip_ft"] == 16
