@@ -5,10 +5,13 @@ throughput per chip (BASELINE.json metric).
 Workload: T=59,800 captions x V=2,990 videos x H=8 heads x d=512 — the
 LAFF-ml evaluation shape on MV-test3k. One "query" = one caption fully
 ranked against the gallery: per-head cosine similarities, H-head mean,
-ground-truth rank extracted. Runs the fused Pallas kernel
-(laff_tpu.ops.pallas_kernels.fused_sim_rank: per-head-normalize ->
-single bf16 MXU matmul in VMEM tiles -> counting ranks, score matrix
-never in HBM) and the XLA f32 counting path; reports the faster.
+ground-truth rank extracted. Runs two device paths and reports the
+faster: the flat XLA path (laff_tpu.eval.flat_sim_ranks: one bf16 MXU
+matmul at roofline + fused counting over the HBM score block) and the
+fused Pallas kernel (laff_tpu.ops.pallas_kernels.fused_sim_rank: score
+tiles stay in VMEM — the right shape for galleries too large to
+materialize scores, but its per-tile gallery refetch loses to XLA's
+matmul pipelining at this gallery size).
 
 Timing methodology: inputs are perturbed per iteration and the ranks are
 materialized to host each iteration — async dispatch through the device
@@ -30,15 +33,13 @@ import time
 import numpy as np
 
 T, V, H, D = 59800, 2990, 8, 512
-TXT_BLOCK = 8192
 
 
 def bench_ours():
     import jax
     import jax.numpy as jnp
 
-    from laff_tpu.eval import ranks_from_scores_device
-    from laff_tpu.ops import multi_head_cosine_sim
+    from laff_tpu.eval import flat_sim_ranks
     from laff_tpu.ops.pallas_kernels import fused_sim_rank
 
     from laff_tpu.ops.norms import l2norm
@@ -53,17 +54,12 @@ def bench_ours():
     # changing any rank (cosine ranking is scale-invariant)
     scales = [jnp.float32(1.0 + 1e-6 * i) for i in range(8)]
 
-    @jax.jit
-    def xla_rank_block(tb, vis, gb):
-        return ranks_from_scores_device(multi_head_cosine_sim(tb, vis), gb)
-
-    def run_xla(i):
+    def run_xla_flat(i):
+        # single flat bf16 matmul + fused counting; the (T, V) score block
+        # fits in HBM at this gallery scale, and XLA's matmul pipelining
+        # runs at the MXU roofline
         tx = txt * scales[i % 8]
-        outs = [
-            xla_rank_block(tx[s : s + TXT_BLOCK], vis, gt[s : s + TXT_BLOCK])
-            for s in range(0, T, TXT_BLOCK)
-        ]
-        return np.asarray(jnp.concatenate(outs))
+        return np.asarray(flat_sim_ranks(tx, vis, gt, prenormalized=True))
 
     def run_pallas(i):
         tx = txt * scales[i % 8]
@@ -73,7 +69,7 @@ def bench_ours():
         )
 
     best = None
-    for name, fn in (("pallas_fused", run_pallas), ("xla_f32", run_xla)):
+    for name, fn in (("xla_flat_count", run_xla_flat), ("pallas_fused", run_pallas)):
         try:
             fn(0)  # compile
             times = [0.0] * 3

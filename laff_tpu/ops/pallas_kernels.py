@@ -20,10 +20,14 @@ Kernels:
   fused_gate_attention-- LAFF gate (logits->softmax->weighted sum->+res->l2norm)
 
 Numerics note: matmuls run bf16xbf16->f32 (MXU native). Scores produced in
-tiles may differ from a monolithic XLA matmul in the last ulp; the
-ground-truth score is computed *inside the kernel from the same tile* when
-its column falls in-tile, keeping self-consistency. The host/XLA path in
-laff_tpu.eval stays the bit-exact parity reference.
+tiles may differ from a monolithic XLA matmul in the last ulp, so ranks can
+shift at near-tie boundaries vs laff_tpu.eval.flat_sim_ranks. In the
+single-gallery-block ("wide") kernel the ground-truth score is extracted
+from the same score tile, so tie comparison is fully self-consistent; in
+the tiled fallback it comes from a separate f32 reduction and the gt column
+is excluded from the greater-count (an exact match always ranks 1; other
+comparisons carry last-ulp noise). The host/XLA path in laff_tpu.eval
+stays the bit-exact parity reference.
 """
 
 from __future__ import annotations
@@ -83,8 +87,15 @@ def _sim_rank_kernel(nvalid_ref, gt_ref, txt_ref, vis_ref, gts_ref, out_ref, acc
     col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     valid = col_ids < nvalid_ref[0]
 
+    # gts_ref comes from a separate (elementwise f32) reduction whose
+    # rounding differs from the MXU tile dot by an ulp, so the gt column
+    # could otherwise "beat itself" and push an exact match to rank 2 —
+    # exclude it: its self-comparison is definitionally not a beat
+    not_gt = col_ids != gt_cols[:, None]
     greater = jnp.sum(
-        jnp.logical_and(scores > gt_scores[:, None], valid).astype(jnp.int32),
+        jnp.logical_and(
+            jnp.logical_and(scores > gt_scores[:, None], valid), not_gt
+        ).astype(jnp.int32),
         axis=1,
     )
     ties_after = jnp.sum(
@@ -101,6 +112,44 @@ def _sim_rank_kernel(nvalid_ref, gt_ref, txt_ref, vis_ref, gts_ref, out_ref, acc
     @pl.when(j == nv - 1)
     def _():
         out_ref[0, :] = acc_ref[0, :] + 1
+
+
+def _sim_rank_kernel_wide(nvalid_ref, gt_ref, txt_ref, vis_ref, out_ref):
+    """Single-gallery-block variant: grid (nt,), the whole (Vp, HD) gallery
+    stays resident in VMEM (fetched once — the index map is constant, so
+    Mosaic skips the copy on every later step). The ground-truth score is
+    extracted from the same score tile, so tie comparison is self-consistent
+    by construction (same MXU accumulation order)."""
+    scores = jnp.dot(
+        txt_ref[:], vis_ref[:].T, preferred_element_type=jnp.float32
+    )  # (BT, Vp)
+    gt_cols = gt_ref[0, :]  # (BT,)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    valid = col_ids < nvalid_ref[0]
+    at_gt = col_ids == gt_cols[:, None]
+    gt_scores = jnp.sum(jnp.where(at_gt, scores, 0.0), axis=1)  # (BT,)
+
+    greater = jnp.sum(
+        jnp.logical_and(scores > gt_scores[:, None], valid).astype(jnp.int32),
+        axis=1,
+    )
+    ties_after = jnp.sum(
+        jnp.logical_and(
+            jnp.logical_and(
+                scores == gt_scores[:, None], col_ids > gt_cols[:, None]
+            ),
+            valid,
+        ).astype(jnp.int32),
+        axis=1,
+    )
+    out_ref[0, :] = greater + ties_after + 1
+
+
+# galleries whose padded bf16 block fits comfortably in VMEM (~128 MiB on
+# v5e) take the single-block path: HBM traffic drops from
+# nt * Vp * HD to Tp * HD + Vp * HD — at MV-test3k scale that is
+# 5.9 GB -> 0.5 GB, moving the kernel from bandwidth- to MXU-bound.
+_WIDE_VMEM_BUDGET = 64 * 1024 * 1024
 
 
 @functools.partial(
@@ -135,6 +184,43 @@ def fused_sim_rank(
     # pad to tile multiples; padded gallery rows are zeros (dot = 0); padded
     # text rows are harmless extra work sliced off at the end
     tp = _round_up(t, block_t)
+    n_valid = jnp.asarray([v], jnp.int32)
+
+    vp_wide = _round_up(v, 256)
+    if vp_wide * hd * 2 <= _WIDE_VMEM_BUDGET:
+        tn = jnp.pad(tn, ((0, tp - t), (0, 0)))
+        vn_w = jnp.pad(vn, ((0, vp_wide - v), (0, 0)))
+        gt = jnp.pad(gt_cols.astype(jnp.int32), (0, tp - t))
+        ranks = pl.pallas_call(
+            _sim_rank_kernel_wide,
+            grid=(tp // block_t,),
+            in_specs=[
+                pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, block_t), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_t, hd), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((vp_wide, hd), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_t), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, tp), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                # the gallery block alone is ~25 MB at MV-test3k scale; the
+                # default scoped-vmem budget (16 MB) forces single-buffering
+                vmem_limit_bytes=_WIDE_VMEM_BUDGET + 32 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * tp * vp_wide * hd,
+                bytes_accessed=(tp + vp_wide) * hd * 2 + tp * 4,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(n_valid, gt[None, :], tn, vn_w)
+        return ranks[0, :t]
+
     vp = _round_up(v, block_v)
     tn = jnp.pad(tn, ((0, tp - t), (0, 0)))
     vn = jnp.pad(vn, ((0, vp - v), (0, 0)))
@@ -145,7 +231,6 @@ def fused_sim_rank(
     gt_scores = jnp.sum(
         tn.astype(jnp.float32) * gt_rows.astype(jnp.float32), axis=1
     )
-    n_valid = jnp.asarray([v], jnp.int32)
 
     grid = (tp // block_t, vp // block_v)
     ranks = pl.pallas_call(
@@ -166,6 +251,9 @@ def fused_sim_rank(
             # text tiles are independent; the gallery axis carries the
             # accumulator and must run sequentially
             dimension_semantics=("parallel", "arbitrary"),
+            # double-buffered (block_t + block_v) x HD bf16 blocks sit just
+            # above the 16 MB default scoped-vmem budget
+            vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * vp * hd,

@@ -88,3 +88,76 @@ def test_fused_sim_rank_prenormalized(rng):
     b = np.asarray(fused_sim_rank(txt, vis, gt, block_t=8, block_v=32,
                                   prenormalized=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_flat_sim_ranks_matches_counting_oracle(rng):
+    """flat_sim_ranks == counting oracle on the same bf16 score matrix,
+    with and without pre-normalization."""
+    import jax.numpy as jnp
+
+    from laff_tpu.eval import flat_sim_ranks, ranks_from_scores_device
+    from laff_tpu.ops.pallas_kernels import flatten_heads
+
+    t, v, h, d = 37, 29, 4, 16
+    txt = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    vis = jnp.asarray(rng.standard_normal((v, h, d)).astype(np.float32))
+    gt = jnp.asarray(rng.integers(0, v, (t,)).astype(np.int32))
+
+    tn = flatten_heads(txt).astype(jnp.bfloat16)
+    vn = flatten_heads(vis).astype(jnp.bfloat16)
+    scores = jnp.dot(tn, vn.T, preferred_element_type=jnp.float32)
+    oracle = np.asarray(ranks_from_scores_device(scores, gt))
+
+    got = np.asarray(flat_sim_ranks(txt, vis, gt))
+    np.testing.assert_array_equal(got, oracle)
+
+    pre = np.asarray(
+        flat_sim_ranks(flatten_heads(txt).reshape(t, h, d),
+                       flatten_heads(vis).reshape(v, h, d),
+                       gt, prenormalized=True)
+    )
+    np.testing.assert_array_equal(pre, oracle)
+
+
+def test_flat_sim_ranks_ties(rng):
+    """Duplicate gallery rows force exact ties; larger index must win."""
+    import jax.numpy as jnp
+
+    from laff_tpu.eval import flat_sim_ranks
+
+    h, d = 2, 8
+    base = rng.standard_normal((5, h, d)).astype(np.float32)
+    vis = jnp.asarray(np.concatenate([base, base[:2]], axis=0))  # dup 0,1 at 5,6
+    txt = jnp.asarray(base[:2])
+    # gt at the EARLIER duplicate: the later one outranks it -> rank 2
+    ranks_early = np.asarray(flat_sim_ranks(txt, vis, jnp.asarray([0, 1], jnp.int32)))
+    ranks_late = np.asarray(flat_sim_ranks(txt, vis, jnp.asarray([5, 6], jnp.int32)))
+    np.testing.assert_array_equal(ranks_early, [2, 2])
+    np.testing.assert_array_equal(ranks_late, [1, 1])
+
+
+def test_fused_sim_rank_exact_match_is_rank_one(rng):
+    """A query identical to its gt gallery row must rank 1: the tiled path
+    computes the gt score in a separate reduction whose rounding differs
+    from the MXU tile dot, so without excluding the gt column from the
+    greater-count an exact match could 'beat itself' into rank 2."""
+    import jax.numpy as jnp
+
+    from laff_tpu.ops.norms import l2norm
+    from laff_tpu.ops.pallas_kernels import fused_sim_rank
+
+    v, h, d = 600, 2, 32
+    vis = l2norm(jnp.asarray(rng.standard_normal((v, h, d)).astype(np.float32)), axis=-1)
+    gt = jnp.asarray(rng.integers(0, v, (128,)).astype(np.int32))
+    txt = vis[gt]
+    # small blocks force the tiled path (wide budget check passes on tiny
+    # shapes, so shrink it) and multiple gallery tiles
+    import laff_tpu.ops.pallas_kernels as PK
+    old = PK._WIDE_VMEM_BUDGET
+    PK._WIDE_VMEM_BUDGET = 1
+    try:
+        ranks = np.asarray(fused_sim_rank(txt, vis, gt, block_t=128,
+                                          block_v=256, prenormalized=True))
+    finally:
+        PK._WIDE_VMEM_BUDGET = old
+    np.testing.assert_array_equal(ranks, np.ones(128, np.int32))
