@@ -34,6 +34,8 @@ def parse_args(argv=None):
     parser.add_argument("--local_rank", default=0, type=int)
     parser.add_argument("--pretrained_file_path", default="None", type=str)
     parser.add_argument("--save_mean_last", default=0, type=int, choices=[0, 1])
+    parser.add_argument("--steps_per_dispatch", default=1, type=int,
+                        help="K train steps per device dispatch (lax.scan)")
     args = parser.parse_args(argv)
     return Options(**vars(args))
 

@@ -1,5 +1,6 @@
 from .sources import TextSource, VisionSource, read_video_set, vis_id_of
-from .feed import EvalFeed, PairFeed, Prefetcher, TextBatcher, VisBatcher
+from .feed import (EvalFeed, PairFeed, Prefetcher, TextBatcher,
+                   VisBatcher, host_cast_bf16)
 
 __all__ = [
     "TextSource",
@@ -11,4 +12,5 @@ __all__ = [
     "Prefetcher",
     "TextBatcher",
     "VisBatcher",
+    "host_cast_bf16",
 ]

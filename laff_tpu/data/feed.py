@@ -27,6 +27,22 @@ from ..text.txt2vec import IndexVec, Txt2Vec
 from .sources import TextSource, VisionSource, vis_id_of
 
 
+def host_cast_bf16(arrs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Round float32 feature arrays to bfloat16 ON THE HOST before device
+    transfer. For towers that compute in bfloat16 the first device op is
+    exactly this cast (round-to-nearest-even both places), so results are
+    bit-identical — but the bytes over PCIe/tunnel/DCN are halved, and
+    feature transfer is the training bottleneck on bandwidth-starved
+    links. Integer arrays (token ids, lengths) pass through untouched."""
+    import ml_dtypes
+
+    return {
+        k: v.astype(ml_dtypes.bfloat16)
+        if isinstance(v, np.ndarray) and v.dtype == np.float32 else v
+        for k, v in arrs.items()
+    }
+
+
 class TextBatcher:
     """cap_ids -> model-ready dense text arrays.
 

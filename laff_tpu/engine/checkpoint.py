@@ -44,8 +44,10 @@ def save_checkpoint(state: Dict[str, Any], path: str) -> None:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Load a laff_tpu checkpoint; reference torch checkpoints are detected
-    and converted via the torch importer."""
+    """Load a laff_tpu checkpoint; reference torch checkpoints and orbax
+    checkpoint directories are detected and routed transparently."""
+    if os.path.isdir(path):
+        return _load_checkpoint_orbax(path)
     with open(path, "rb") as fh:
         head = fh.read(2)
     if head == b"PK":  # torch zipfile serialization
@@ -56,6 +58,53 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         payload = pickle.load(fh)
     if payload.get("__format__") != _MAGIC:
         raise ValueError(f"{path}: not a laff_tpu checkpoint")
+    return payload
+
+
+_ORBAX_META = "meta.pkl"
+_ORBAX_ARRAYS = "arrays"
+
+
+def save_checkpoint_orbax(state: Dict[str, Any], path: str) -> None:
+    """Directory-format checkpoint via orbax (async-capable, sharded-array
+    aware — the right backend once params outgrow a single pickle, e.g.
+    End2End towers on a pod slice). Arrays go through orbax's OCDBT store;
+    non-array metadata (config/opt/spec) rides in a side pickle.
+
+    ``load_checkpoint`` sniffs directories and restores transparently, so
+    the trainer/predictor surface is unchanged.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    arrays = {
+        k: _to_numpy(state[k])
+        for k in ("params", "batch_stats", "schedule")
+        if state.get(k)
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, _ORBAX_ARRAYS), arrays, force=True)
+    ckptr.wait_until_finished()
+    meta = {k: v for k, v in state.items()
+            if k not in ("params", "batch_stats", "schedule")}
+    meta["__format__"] = _MAGIC
+    meta["__empty__"] = [k for k in ("params", "batch_stats", "schedule")
+                         if not state.get(k)]
+    with open(os.path.join(path, _ORBAX_META), "wb") as fh:
+        pickle.dump(meta, fh, pickle.HIGHEST_PROTOCOL)
+
+
+def _load_checkpoint_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, _ORBAX_META), "rb") as fh:
+        payload = pickle.load(fh)
+    ckptr = ocp.StandardCheckpointer()
+    arrays = ckptr.restore(os.path.join(os.path.abspath(path), _ORBAX_ARRAYS))
+    payload.update(arrays)
+    for k in payload.pop("__empty__", []):
+        payload.setdefault(k, {})
     return payload
 
 

@@ -33,6 +33,9 @@ class Embedder:
     def __init__(self, model, variables):
         self.model = model
         self.variables = variables
+        spec = getattr(model, "spec", None)
+        self._txt_bf16 = bool(spec) and spec.txt.compute_dtype == "bfloat16"
+        self._vis_bf16 = bool(spec) and spec.vis.compute_dtype == "bfloat16"
 
         def _txt(variables, batch):
             return model.apply(variables, batch, method=model.encode_txt)
@@ -43,19 +46,22 @@ class Embedder:
         self._txt = jax.jit(_txt)
         self._vis = jax.jit(_vis)
 
-    def _embed(self, fn, feed: EvalFeed) -> Tuple[jnp.ndarray, List[str]]:
+    def _embed(self, fn, feed: EvalFeed, bf16: bool) -> Tuple[jnp.ndarray, List[str]]:
+        from ..data import host_cast_bf16
+
         chunks, ids = [], []
         for item in Prefetcher(iter(feed), depth=2):
-            emb = fn(self.variables, {k: jnp.asarray(v) for k, v in item["data"].items()})
+            data = host_cast_bf16(item["data"]) if bf16 else item["data"]
+            emb = fn(self.variables, {k: jnp.asarray(v) for k, v in data.items()})
             chunks.append(emb[: item["valid"]] if item["valid"] < emb.shape[0] else emb)
             ids.extend(item["ids"])
         return jnp.concatenate(chunks, axis=0), ids
 
     def embed_txt(self, feed: EvalFeed):
-        return self._embed(self._txt, feed)
+        return self._embed(self._txt, feed, self._txt_bf16)
 
     def embed_vis(self, feed: EvalFeed):
-        return self._embed(self._vis, feed)
+        return self._embed(self._vis, feed, self._vis_bf16)
 
 
 @jax.jit

@@ -67,6 +67,9 @@ class Options:
     local_rank: int = 0
     pretrained_file_path: str = "None"
     save_mean_last: int = 0
+    # TPU-native extension: K train steps per device dispatch (lax.scan);
+    # amortizes per-dispatch host latency. 1 = reference-style stepping.
+    steps_per_dispatch: int = 1
 
 
 def load_config(config_name: str):

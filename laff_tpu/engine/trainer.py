@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data import EvalFeed, Prefetcher
+from ..data import EvalFeed, Prefetcher, host_cast_bf16
 from ..models import LAFFModel
 from ..ops import (
     cross_entropy_loss,
@@ -179,9 +179,8 @@ def _masked_margin2(
 def make_train_step(model: LAFFModel, tx, spec):
     loss_fn = make_loss_fn(spec)
 
-    @jax.jit
-    def train_step(state: TrainState, txt_batch, vis_batch, rng,
-                   false_txt_batch=None, task3_mask=None, epoch=0):
+    def _transition(state: TrainState, txt_batch, vis_batch, rng,
+                    false_txt_batch=None, task3_mask=None, epoch=0):
         def compute(params):
             variables = {"params": params}
             if state.batch_stats:
@@ -227,7 +226,44 @@ def make_train_step(model: LAFFModel, tx, spec):
         )
         return new_state, loss
 
+    train_step = jax.jit(_transition)
+    train_step._transition = _transition
     return train_step
+
+
+def make_multi_train_step(train_step, with_task3: bool = False):
+    """K training steps in ONE device dispatch via ``lax.scan``.
+
+    Each dispatch through a remote/tunneled runtime costs a fixed host
+    round trip that can exceed the device step itself; scanning K steps
+    device-side amortizes it (and lets XLA overlap weight updates with the
+    next step's forward). Semantics are identical to K sequential
+    ``train_step`` calls with the same per-step rngs — the state (params,
+    BN stats, optimizer, step counter) threads through the scan carry.
+
+    Batches arrive stacked on a leading (K, ...) axis; per-step rngs as a
+    (K,) key array.
+    """
+    transition = train_step._transition
+
+    @jax.jit
+    def multi_step(state: TrainState, txt_stack, vis_stack, rngs,
+                   false_stack=None, mask_stack=None, epoch=0):
+        if with_task3:
+            xs = (txt_stack, vis_stack, rngs, false_stack, mask_stack)
+
+            def body(s, x):
+                t, v, r, f, m = x
+                return transition(s, t, v, r, f, m, epoch)
+        else:
+            xs = (txt_stack, vis_stack, rngs)
+
+            def body(s, x):
+                t, v, r = x
+                return transition(s, t, v, r)
+        return jax.lax.scan(body, state, xs)
+
+    return multi_step
 
 
 def set_learning_rate(state: TrainState, lr: float) -> TrainState:
@@ -304,39 +340,107 @@ class ScalarLogger:
             self._tb.close()
 
 
+def _stack_batches(batches, key, bf16=False):
+    names = batches[0][key].keys()
+    out = {n: np.stack([b[key][n] for b in batches]) for n in names}
+    if bf16:
+        out = host_cast_bf16(out)
+    return {n: jnp.asarray(v) for n, v in out.items()}
+
+
 def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
-                    log_every: int = 50):
+                    log_every: int = 50, multi_step=None,
+                    steps_per_dispatch: int = 1,
+                    cast_txt_bf16: bool = False, cast_vis_bf16: bool = False):
     """One epoch. Losses stay on device until logging points — reading a
     scalar every step costs a host round trip that can dominate wall
-    clock (observed 40ms step -> 500ms with per-step float(loss))."""
+    clock (observed 40ms step -> 500ms with per-step float(loss)).
+
+    With ``multi_step`` (see make_multi_train_step) and
+    ``steps_per_dispatch`` K > 1, same-shaped batches are stacked host-side
+    and K steps run in one device dispatch; ragged tail batches fall back
+    to single steps. Single-chip only (sharded batches keep per-step
+    dispatch, whose cost is amortized across the mesh)."""
     meter = AverageMeter()
     progress = Progress(feed.steps_per_epoch() * feed.batch_size, f"epoch {epoch}")
     rng = jax.random.key(epoch)
-    pending = []  # device loss values awaiting host readback
+    pending = []  # device loss values (scalars or (K,) stacks) awaiting readback
+    pending_n = 0
     step0 = int(state.step)
-    for i, batch in enumerate(Prefetcher(feed.epoch(epoch), depth=3)):
-        txt = {k: jnp.asarray(v) for k, v in batch["txt"].items()}
-        vis = {k: jnp.asarray(v) for k, v in batch["vis"].items()}
+    use_scan = multi_step is not None and steps_per_dispatch > 1 and mesh is None
+    buf = []
+
+    def to_dev(arrs, bf16):
+        if bf16:
+            arrs = host_cast_bf16(arrs)
+        return {k: jnp.asarray(v) for k, v in arrs.items()}
+
+    def single_step(state, batch):
+        txt = to_dev(batch["txt"], cast_txt_bf16)
+        vis = to_dev(batch["vis"], cast_vis_bf16)
         if mesh is not None:
             txt = shard_batch(txt, mesh)
             vis = shard_batch(vis, mesh)
-        rng, step_rng = jax.random.split(rng)
         if "false_txt" in batch:
-            false_txt = {k: jnp.asarray(v) for k, v in batch["false_txt"].items()}
+            false_txt = to_dev(batch["false_txt"], cast_txt_bf16)
             if mesh is not None:
                 false_txt = shard_batch(false_txt, mesh)
-            state, loss = train_step(
-                state, txt, vis, step_rng,
+            return train_step(
+                state, txt, vis, batch["_rng"],
                 false_txt_batch=false_txt,
                 task3_mask=jnp.asarray(batch["task3_mask"]),
                 epoch=epoch,
             )
+        return train_step(state, txt, vis, batch["_rng"])
+
+    def flush(state):
+        nonlocal pending_n
+        if not buf:
+            return state
+        lead = buf[0]["txt"]
+        same = len(buf) == steps_per_dispatch and all(
+            b["txt"][k].shape == lead[k].shape for b in buf for k in lead
+        )
+        if use_scan and same:
+            rngs = jnp.stack([b["_rng"] for b in buf])
+            if "false_txt" in buf[0]:
+                state, losses = multi_step(
+                    state, _stack_batches(buf, "txt", cast_txt_bf16),
+                    _stack_batches(buf, "vis", cast_vis_bf16),
+                    rngs, _stack_batches(buf, "false_txt", cast_txt_bf16),
+                    jnp.asarray(np.stack([b["task3_mask"] for b in buf])),
+                    epoch,
+                )
+            else:
+                state, losses = multi_step(
+                    state, _stack_batches(buf, "txt", cast_txt_bf16),
+                    _stack_batches(buf, "vis", cast_vis_bf16),
+                    rngs,
+                )
+            pending.append(losses)
+            pending_n += len(buf)
         else:
-            state, loss = train_step(state, txt, vis, step_rng)
-        pending.append(loss)
+            for b in buf:
+                state, loss = single_step(state, b)
+                pending.append(loss[None])
+                pending_n += 1
+        buf.clear()
+        return state
+
+    for i, batch in enumerate(Prefetcher(feed.epoch(epoch), depth=3)):
+        rng, step_rng = jax.random.split(rng)
+        batch["_rng"] = step_rng
+        if use_scan:
+            buf.append(batch)
+            if len(buf) >= steps_per_dispatch:
+                state = flush(state)
+        else:
+            state, loss = single_step(state, batch)
+            pending.append(loss[None])
+            pending_n += 1
         progress.add(feed.batch_size)
-        if len(pending) >= log_every:
-            vals = np.asarray(jnp.stack(pending))  # one sync per log_every
+        if pending_n >= log_every:
+            vals = np.asarray(jnp.concatenate(pending))  # one sync per log_every
             for v in vals:
                 meter.update(float(v))
             if logger_ is not None:
@@ -344,8 +448,10 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
                     "train/Loss", float(vals[-1]), step0 + i + 1
                 )
             pending = []
+            pending_n = 0
+    state = flush(state)
     if pending:
-        vals = np.asarray(jnp.stack(pending))
+        vals = np.asarray(jnp.concatenate(pending))
         for v in vals:
             meter.update(float(v))
         if logger_ is not None:
@@ -380,6 +486,17 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
                     ckpt.get("epoch"))
 
     train_step = make_train_step(model, tx, spec)
+    # bf16-compute towers round their inputs to bf16 as the first device op;
+    # doing that rounding host-side is bit-identical and halves the feature
+    # bytes moved per step (the bottleneck on bandwidth-starved links)
+    cast_txt = spec.txt.compute_dtype == "bfloat16"
+    cast_vis = spec.vis.compute_dtype == "bfloat16"
+    multi_step = None
+    spd = getattr(opt, "steps_per_dispatch", 1)
+    if spd > 1 and mesh is None:
+        multi_step = make_multi_train_step(
+            train_step, with_task3=(spec.task3 is not None)
+        )
     lr_ctl = LRController(config.lr, config.lr_decay_rate)
     scalar_log = ScalarLogger(model_path)
 
@@ -426,7 +543,8 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         t0 = time.time()
         state, train_loss = train_one_epoch(
             train_step, state, prepared.train_feed, epoch, mesh=mesh,
-            logger_=scalar_log,
+            logger_=scalar_log, multi_step=multi_step, steps_per_dispatch=spd,
+            cast_txt_bf16=cast_txt, cast_vis_bf16=cast_vis,
         )
         if profile_dir and epoch == 1:
             jax.profiler.stop_trace()
@@ -434,7 +552,9 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         if prepared.train2_feed is not None:
             state, _ = train_one_epoch(
                 train_step, state, prepared.train2_feed, epoch, mesh=mesh,
-                logger_=scalar_log,
+                logger_=scalar_log, multi_step=multi_step,
+                steps_per_dispatch=spd,
+                cast_txt_bf16=cast_txt, cast_vis_bf16=cast_vis,
             )
         epoch_time = time.time() - t0
 

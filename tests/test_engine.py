@@ -122,3 +122,128 @@ def test_frame_laff_end_to_end(tmp_path):
     # checkpoint spec carries the frame features
     ckpt = load_checkpoint(os.path.join(result["model_path"], "model_best.pth.tar"))
     assert dict(ckpt["spec"].vis.frame_features) == {"clip_frames": 16}
+
+
+def test_multi_step_scan_matches_sequential(tmp_path):
+    """K scanned train steps == K sequential train steps (same rngs):
+    identical final params, BN stats, step counter, and per-step losses."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from laff_tpu.engine import Options, prepare
+    from laff_tpu.engine.trainer import (
+        init_state, make_multi_train_step, make_optimizer, make_train_step,
+    )
+    from laff_tpu.models import LAFFModel
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=16, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=5)
+    build_w2v(root)
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=root, val_set="no", config_name="tiny",
+                  batch_size=8, model_prefix="scan")
+    prepared = prepare(opt)
+    model = LAFFModel(prepared.spec)
+    tx = make_optimizer(prepared.config)
+    state0 = init_state(model, prepared.spec, prepared, tx)
+    train_step = make_train_step(model, tx, prepared.spec)
+    multi_step = make_multi_train_step(train_step)
+
+    K = 3
+    batches = []
+    for i, b in enumerate(prepared.train_feed.epoch(0)):
+        if i >= K:
+            break
+        batches.append(b)
+    assert len(batches) == K
+    rngs = jax.random.split(jax.random.key(7), K)
+
+    seq = state0
+    seq_losses = []
+    for i, b in enumerate(batches):
+        txt = {k: jnp.asarray(v) for k, v in b["txt"].items()}
+        vis = {k: jnp.asarray(v) for k, v in b["vis"].items()}
+        seq, loss = train_step(seq, txt, vis, rngs[i])
+        seq_losses.append(float(loss))
+
+    txt_s = {k: jnp.asarray(np.stack([b["txt"][k] for b in batches]))
+             for k in batches[0]["txt"]}
+    vis_s = {k: jnp.asarray(np.stack([b["vis"][k] for b in batches]))
+             for k in batches[0]["vis"]}
+    scanned, losses = multi_step(state0, txt_s, vis_s, rngs)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    assert int(scanned.step) == int(seq.step) == K
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        scanned.params, seq.params,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        scanned.batch_stats, seq.batch_stats,
+    )
+
+
+def test_train_main_with_steps_per_dispatch(tmp_path):
+    """End-to-end training with steps_per_dispatch > 1 (incl. ragged tail
+    batches) runs and produces a usable checkpoint."""
+    import os
+
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.trainer import main as train_main
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=18, caps_per_video=2, seed=1)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=6)
+    build_w2v(root)
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=root, val_set="no", config_name="tiny",
+                  num_epochs=2, batch_size=8, model_prefix="scan_e2e",
+                  steps_per_dispatch=4)
+    result = train_main(opt)
+    assert result["best_perf"] > 0
+    assert os.path.exists(os.path.join(result["model_path"], "model_best.pth.tar"))
+
+
+def test_host_bf16_cast_is_bit_identical(tmp_path):
+    """For a bfloat16-compute tower, rounding features to bf16 on the host
+    (host_cast_bf16) must give bit-identical embeddings to sending f32 and
+    letting the tower cast on device — same round-to-nearest-even."""
+    import jax
+    import jax.numpy as jnp
+
+    from laff_tpu.data import host_cast_bf16
+    from laff_tpu.engine import Options, prepare
+    from laff_tpu.models import LAFFModel
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=12, caps_per_video=1, seed=0)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=5)
+    build_w2v(root)
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=root, val_set="no", config_name="tiny_bf16",
+                  batch_size=8, model_prefix="cast")
+    prepared = prepare(opt)
+    assert prepared.spec.vis.compute_dtype == "bfloat16"
+    model = LAFFModel(prepared.spec)
+
+    batch = next(iter(prepared.train_feed.epoch(0)))
+    vis_f32 = batch["vis"]
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        {k: jnp.asarray(v) for k, v in batch["txt"].items()},
+        {k: jnp.asarray(v) for k, v in vis_f32.items()},
+    )
+    emb_f32 = np.asarray(model.apply(
+        variables, {k: jnp.asarray(v) for k, v in vis_f32.items()},
+        method=model.encode_vis))
+    cast = host_cast_bf16(vis_f32)
+    assert all(str(v.dtype) == "bfloat16" for v in cast.values())
+    emb_cast = np.asarray(model.apply(
+        variables, {k: jnp.asarray(v) for k, v in cast.items()},
+        method=model.encode_vis))
+    np.testing.assert_array_equal(emb_f32, emb_cast)
