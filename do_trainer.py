@@ -36,6 +36,10 @@ def parse_args(argv=None):
     parser.add_argument("--save_mean_last", default=0, type=int, choices=[0, 1])
     parser.add_argument("--steps_per_dispatch", default=1, type=int,
                         help="K train steps per device dispatch (lax.scan)")
+    parser.add_argument("--device_feature_cache", default=0, type=int,
+                        choices=[0, 1],
+                        help="keep train video features in HBM; batches "
+                             "carry row indices only")
     args = parser.parse_args(argv)
     return Options(**vars(args))
 

@@ -70,6 +70,9 @@ class Options:
     # TPU-native extension: K train steps per device dispatch (lax.scan);
     # amortizes per-dispatch host latency. 1 = reference-style stepping.
     steps_per_dispatch: int = 1
+    # TPU-native extension: keep all train video features resident in HBM
+    # and send only int32 row indices per batch (engine/feature_cache.py).
+    device_feature_cache: int = 0
 
 
 def load_config(config_name: str):

@@ -231,6 +231,24 @@ def make_train_step(model: LAFFModel, tx, spec):
     return train_step
 
 
+def make_cached_train_step(train_step, cache_arrays):
+    """Train step over a DeviceVisCache: takes (B,) int32 gallery rows
+    instead of feature arrays and gathers them from HBM inside the jit —
+    per-step host traffic drops to the text features plus a few hundred
+    bytes of indices."""
+    transition = train_step._transition
+
+    def cached_transition(state, txt_batch, vis_idx, rng,
+                          false_txt_batch=None, task3_mask=None, epoch=0):
+        vis = {k: v[vis_idx] for k, v in cache_arrays.items()}
+        return transition(state, txt_batch, vis, rng, false_txt_batch,
+                          task3_mask, epoch)
+
+    step = jax.jit(cached_transition)
+    step._transition = cached_transition
+    return step
+
+
 def make_multi_train_step(train_step, with_task3: bool = False):
     """K training steps in ONE device dispatch via ``lax.scan``.
 
@@ -351,7 +369,8 @@ def _stack_batches(batches, key, bf16=False):
 def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
                     log_every: int = 50, multi_step=None,
                     steps_per_dispatch: int = 1,
-                    cast_txt_bf16: bool = False, cast_vis_bf16: bool = False):
+                    cast_txt_bf16: bool = False, cast_vis_bf16: bool = False,
+                    vis_cache=None):
     """One epoch. Losses stay on device until logging points — reading a
     scalar every step costs a host round trip that can dominate wall
     clock (observed 40ms step -> 500ms with per-step float(loss)).
@@ -375,9 +394,14 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
             arrs = host_cast_bf16(arrs)
         return {k: jnp.asarray(v) for k, v in arrs.items()}
 
+    def vis_arg(batch):
+        if vis_cache is not None:
+            return jnp.asarray(vis_cache.indices(batch["vis_ids"]))
+        return to_dev(batch["vis"], cast_vis_bf16)
+
     def single_step(state, batch):
         txt = to_dev(batch["txt"], cast_txt_bf16)
-        vis = to_dev(batch["vis"], cast_vis_bf16)
+        vis = vis_arg(batch)
         if mesh is not None:
             txt = shard_batch(txt, mesh)
             vis = shard_batch(vis, mesh)
@@ -403,10 +427,15 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
         )
         if use_scan and same:
             rngs = jnp.stack([b["_rng"] for b in buf])
+            if vis_cache is not None:
+                vis_s = jnp.asarray(np.stack(
+                    [vis_cache.indices(b["vis_ids"]) for b in buf]))
+            else:
+                vis_s = _stack_batches(buf, "vis", cast_vis_bf16)
             if "false_txt" in buf[0]:
                 state, losses = multi_step(
                     state, _stack_batches(buf, "txt", cast_txt_bf16),
-                    _stack_batches(buf, "vis", cast_vis_bf16),
+                    vis_s,
                     rngs, _stack_batches(buf, "false_txt", cast_txt_bf16),
                     jnp.asarray(np.stack([b["task3_mask"] for b in buf])),
                     epoch,
@@ -414,7 +443,7 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
             else:
                 state, losses = multi_step(
                     state, _stack_batches(buf, "txt", cast_txt_bf16),
-                    _stack_batches(buf, "vis", cast_vis_bf16),
+                    vis_s,
                     rngs,
                 )
             pending.append(losses)
@@ -485,12 +514,21 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         logger.info("warm-started from %s (epoch %s)", opt.pretrained_file_path,
                     ckpt.get("epoch"))
 
-    train_step = make_train_step(model, tx, spec)
+    raw_step = make_train_step(model, tx, spec)
+    train_step = raw_step
     # bf16-compute towers round their inputs to bf16 as the first device op;
     # doing that rounding host-side is bit-identical and halves the feature
     # bytes moved per step (the bottleneck on bandwidth-starved links)
     cast_txt = spec.txt.compute_dtype == "bfloat16"
     cast_vis = spec.vis.compute_dtype == "bfloat16"
+    vis_cache = None
+    if getattr(opt, "device_feature_cache", 0) and mesh is None:
+        from .feature_cache import DeviceVisCache
+
+        vis_cache = DeviceVisCache(
+            prepared.train_feed.vis_batcher, bf16=cast_vis
+        )
+        train_step = make_cached_train_step(raw_step, vis_cache.arrays)
     multi_step = None
     spd = getattr(opt, "steps_per_dispatch", 1)
     if spd > 1 and mesh is None:
@@ -545,15 +583,15 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             train_step, state, prepared.train_feed, epoch, mesh=mesh,
             logger_=scalar_log, multi_step=multi_step, steps_per_dispatch=spd,
             cast_txt_bf16=cast_txt, cast_vis_bf16=cast_vis,
+            vis_cache=vis_cache,
         )
         if profile_dir and epoch == 1:
             jax.profiler.stop_trace()
             logger.info("profiler trace written to %s", profile_dir)
         if prepared.train2_feed is not None:
             state, _ = train_one_epoch(
-                train_step, state, prepared.train2_feed, epoch, mesh=mesh,
-                logger_=scalar_log, multi_step=multi_step,
-                steps_per_dispatch=spd,
+                raw_step, state, prepared.train2_feed, epoch, mesh=mesh,
+                logger_=scalar_log, multi_step=None, steps_per_dispatch=1,
                 cast_txt_bf16=cast_txt, cast_vis_bf16=cast_vis,
             )
         epoch_time = time.time() - t0
