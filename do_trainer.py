@@ -40,6 +40,10 @@ def parse_args(argv=None):
                         choices=[0, 1],
                         help="keep train video features in HBM; batches "
                              "carry row indices only")
+    parser.add_argument("--device_text_featurize", default=0, type=int,
+                        choices=[0, 1],
+                        help="ship bow as sparse (ids, counts); densify "
+                             "on device")
     args = parser.parse_args(argv)
     return Options(**vars(args))
 

@@ -60,10 +60,15 @@ class TextBatcher:
         source: TextSource,
         featurizers: Dict[str, Txt2Vec],
         max_txtlength: int = 77,
+        indexed_bow: bool = False,
     ) -> None:
         self.source = source
         self.featurizers = featurizers
         self.max_txtlength = max_txtlength
+        # ship bow as (ids, counts) pairs and densify on device
+        # (FusionTower scatter) — shrinks the per-caption transfer from a
+        # vocab-wide dense row to ~max_txtlength int32/f32 pairs
+        self.indexed_bow = indexed_bow
 
     def __call__(self, cap_ids: Sequence[str]) -> Dict[str, np.ndarray]:
         captions = self.source.captions_for(cap_ids)
@@ -97,6 +102,10 @@ class TextBatcher:
                 if precomputed is None:
                     precomputed = self.source.gather_precomputed(cap_ids)
                 batch[name] = precomputed[self._PRECOMPUTED_KEYS[name]]
+            elif name == "bow" and self.indexed_bow:
+                ids, cnt = t2v.encode_batch_indexed(captions, self.max_txtlength)
+                batch["bow_ids"] = ids
+                batch["bow_cnt"] = cnt
             else:
                 batch[name] = t2v.encode_batch(captions)
         return batch

@@ -73,6 +73,9 @@ class Options:
     # TPU-native extension: keep all train video features resident in HBM
     # and send only int32 row indices per batch (engine/feature_cache.py).
     device_feature_cache: int = 0
+    # TPU-native extension: ship bow vectors as sparse (ids, counts) pairs
+    # and densify on device (FusionTower scatter).
+    device_text_featurize: int = 0
 
 
 def load_config(config_name: str):
@@ -396,11 +399,13 @@ def build_featurizers(config, rootpath, vocab_collection, train_capfile):
     return featurizers, txt_dims, gru_spec, gru_vocab, we
 
 
-def _make_text_batcher(config, featurizers, source) -> TextBatcher:
+def _make_text_batcher(config, featurizers, source,
+                       indexed_bow: bool = False) -> TextBatcher:
     active = {
         k: v for k, v in featurizers.items() if v is not None or k in ("clip", "bert")
     }
-    return TextBatcher(source, active, max_txtlength=config.max_txtlength)
+    return TextBatcher(source, active, max_txtlength=config.max_txtlength,
+                       indexed_bow=indexed_bow)
 
 
 def prepare(opt: Options) -> Prepared:
@@ -495,7 +500,8 @@ def prepare(opt: Options) -> Prepared:
                 "(live tower pending)"
             )
     train_feed = PairFeed(
-        _make_text_batcher(config, featurizers, train_tsource),
+        _make_text_batcher(config, featurizers, train_tsource,
+                           indexed_bow=bool(getattr(opt, 'device_text_featurize', 0))),
         VisBatcher(train_vsource, with_frames=config.frame_feat_input),
         batch_size=opt.batch_size,
         seed=opt.random_seed,
@@ -531,7 +537,8 @@ def prepare(opt: Options) -> Prepared:
             t2_vis, t2_ids, frame_feat_files=t2_frames, max_frame=config.max_frame
         )
         train2_feed = PairFeed(
-            _make_text_batcher(config, featurizers, t2_tsource),
+            _make_text_batcher(config, featurizers, t2_tsource,
+                               indexed_bow=bool(getattr(opt, 'device_text_featurize', 0))),
             VisBatcher(t2_vsource, with_frames=config.frame_feat_input),
             batch_size=opt.batch_size,
             seed=opt.random_seed + 1,
@@ -544,7 +551,9 @@ def prepare(opt: Options) -> Prepared:
         model_path=model_path,
         train_feed=train_feed,
         val_txt_source=val_tsource,
-        val_txt_batcher=_make_text_batcher(config, featurizers, val_tsource),
+        val_txt_batcher=_make_text_batcher(
+            config, featurizers, val_tsource,
+            indexed_bow=bool(getattr(opt, 'device_text_featurize', 0))),
         val_vis_batcher=VisBatcher(val_vsource, with_frames=config.frame_feat_input),
         val_vis_ids=val_ids,
         featurizers=featurizers,

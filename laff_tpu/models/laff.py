@@ -76,6 +76,22 @@ class FusionTower(nn.Module):
         spec = self.spec
         features = list(spec.features)
 
+        # -- device-side BoW densification --------------------------------
+        # the feed may ship the bow vector in sparse (ids, counts) form
+        # (TextBatcher indexed_bow) so only ~max_tokens int32/f32 pairs per
+        # caption cross the host link instead of a vocab-wide dense row;
+        # scattering here reproduces the dense encoding exactly (counts are
+        # pre-normalized host-side; padding ids hit the sink column)
+        if "bow_ids" in inputs:
+            inputs = dict(inputs)
+            ids = inputs.pop("bow_ids")
+            cnt = inputs.pop("bow_cnt")
+            dim = dict(spec.features)["bow"]
+            b = ids.shape[0]
+            dense = jnp.zeros((b, dim + 1), cnt.dtype)
+            dense = dense.at[jnp.arange(b)[:, None], ids].add(cnt)
+            inputs["bow"] = dense[:, :dim]
+
         # -- FrameLAFF: pool per-frame features into video-level vectors ----
         frame_pooled: Dict[str, jnp.ndarray] = {}
         if spec.frame_features:

@@ -10,7 +10,7 @@ the input pipeline and the device graph only sees dense arrays.
 from __future__ import annotations
 
 import pickle
-from typing import List, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 
@@ -113,6 +113,33 @@ class BowVec(Txt2Vec):
             ff.encode_bow(list(queries), self.vocab.word2idx, stop, out)
             return out
         return super().encode_batch(queries)
+
+    def encode_batch_indexed(self, queries: Sequence[str], max_tokens: int = 77):
+        """Sparse form of ``encode_batch`` for device-side densification:
+        ids (B, T) int32 (padded with ``self.ndims`` — the scatter sink
+        column) and counts (B, T) float32. Counts are pre-normalized when
+        ``self.norm > 0`` (the norm of the nonzeros equals the dense
+        vector's norm), so scattering on device reproduces ``encoding``
+        exactly. Only captions with more than ``max_tokens`` DISTINCT
+        in-vocab words truncate — never at LAFF caption lengths."""
+        ids = np.full((len(queries), max_tokens), self.ndims, np.int32)
+        cnt = np.zeros((len(queries), max_tokens), np.float32)
+        for i, q in enumerate(queries):
+            c: Dict[int, float] = {}
+            for word in self._preprocess(q):
+                idx = self.vocab.find(word)
+                if idx >= 0:
+                    c[idx] = c.get(idx, 0.0) + 1.0
+            if not c:
+                continue
+            vals = np.fromiter(c.values(), np.float32, len(c))
+            if self.norm > 0:
+                vals = vals / (np.linalg.norm(vals, self.norm) + 1e-10)
+            keys = np.fromiter(c.keys(), np.int32, len(c))
+            t = min(len(keys), max_tokens)
+            ids[i, :t] = keys[:t]
+            cnt[i, :t] = vals[:t]
+        return ids, cnt
 
     def __len__(self) -> int:
         return self.ndims

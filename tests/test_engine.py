@@ -315,3 +315,86 @@ def test_train_main_with_feature_cache_and_scan(tmp_path):
     result = train_main(opt)
     assert result["best_perf"] > 0
     assert os.path.exists(os.path.join(result["model_path"], "model_best.pth.tar"))
+
+
+def test_device_text_featurize_matches_dense(tmp_path):
+    """Sparse (ids, counts) bow + on-device scatter == dense bow path:
+    encoder-level equality (incl. duplicate words and L2 norm) and
+    model-level embedding equality through the training prepare path."""
+    import jax
+    import jax.numpy as jnp
+
+    from laff_tpu.engine import Options, prepare
+    from laff_tpu.models import LAFFModel
+    from laff_tpu.text import BowVecNSW, Vocabulary
+
+    vocab = Vocabulary("bow_nsw")
+    for w in ("dog", "runs", "grass", "cat", "sits"):
+        vocab.add(w)
+    enc = BowVecNSW(vocab)
+    caps = ["dog dog runs on the grass", "", "cat sits cat dog cat"]
+    dense = enc.encode_batch(caps)
+    ids, cnt = enc.encode_batch_indexed(caps, max_tokens=8)
+    rebuilt = np.zeros((len(caps), enc.ndims + 1), np.float32)
+    np.add.at(rebuilt, (np.arange(len(caps))[:, None], ids), cnt)
+    np.testing.assert_array_equal(rebuilt[:, : enc.ndims], dense)
+
+    enc2 = BowVecNSW(vocab, norm=2)
+    dense2 = enc2.encode_batch(caps)
+    ids2, cnt2 = enc2.encode_batch_indexed(caps, max_tokens=8)
+    rebuilt2 = np.zeros((len(caps), enc2.ndims + 1), np.float32)
+    np.add.at(rebuilt2, (np.arange(len(caps))[:, None], ids2), cnt2)
+    np.testing.assert_allclose(rebuilt2[:, : enc2.ndims], dense2, rtol=1e-6)
+
+    # model level through the real prepare path
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=12, caps_per_video=1, seed=0)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=5)
+    build_w2v(root)
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=root, val_set="no", config_name="tiny",
+                  batch_size=8, model_prefix="dtf", device_text_featurize=1)
+    prepared = prepare(opt)
+    model = LAFFModel(prepared.spec)
+    batch = next(iter(prepared.train_feed.epoch(0)))
+    assert "bow_ids" in batch["txt"] and "bow" not in batch["txt"]
+    txt_sparse = {k: jnp.asarray(v) for k, v in batch["txt"].items()}
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        txt_sparse, {k: jnp.asarray(v) for k, v in batch["vis"].items()},
+    )
+    emb_sparse = np.asarray(model.apply(variables, txt_sparse,
+                                        method=model.encode_txt))
+    bow = prepared.featurizers["bow"]
+    caps2 = batch["cap_ids"]
+    dense_b = bow.encode_batch(prepared.train_txt_source.captions_for(caps2)
+                               if hasattr(prepared, "train_txt_source")
+                               else [prepared.train_feed.text_batcher.source.caption(c)
+                                     for c in caps2])
+    txt_dense = dict(txt_sparse)
+    del txt_dense["bow_ids"], txt_dense["bow_cnt"]
+    txt_dense["bow"] = jnp.asarray(dense_b)
+    emb_dense = np.asarray(model.apply(variables, txt_dense,
+                                       method=model.encode_txt))
+    np.testing.assert_array_equal(emb_sparse, emb_dense)
+
+
+def test_train_main_device_text_featurize(tmp_path):
+    """End-to-end training + validation with sparse bow through the real
+    entry point, composed with the feature cache."""
+    import os
+
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.trainer import main as train_main
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=16, caps_per_video=2, seed=1)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=6)
+    build_w2v(root)
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=root, val_set="no", config_name="tiny",
+                  num_epochs=2, batch_size=8, model_prefix="dtf_e2e",
+                  device_text_featurize=1, device_feature_cache=1)
+    result = train_main(opt)
+    assert result["best_perf"] > 0
+    assert os.path.exists(os.path.join(result["model_path"], "model_best.pth.tar"))
