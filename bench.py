@@ -36,7 +36,6 @@ T, V, H, D = 59800, 2990, 8, 512
 
 
 def bench_ours():
-    import jax
     import jax.numpy as jnp
 
     from laff_tpu.eval import flat_sim_ranks

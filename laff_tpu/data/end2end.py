@@ -10,7 +10,7 @@ CLIP preprocess. Frame sampling is random per epoch in training
 from __future__ import annotations
 
 import random
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 

@@ -14,7 +14,6 @@ Collection layout (unchanged from the reference, so existing dumps work):
 
 from __future__ import annotations
 
-import os
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
 

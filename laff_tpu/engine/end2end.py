@@ -14,11 +14,10 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..data.end2end import End2EndFeed, eval_batches
