@@ -71,8 +71,10 @@ def bench_ours():
     for name, fn in (("xla_flat_count", run_xla_flat), ("pallas_fused", run_pallas)):
         try:
             fn(0)  # compile
-            times = [0.0] * 3
-            for i in range(3):
+            fn(1)  # settle the tunnel after compile traffic
+            n_iter = 5
+            times = [0.0] * n_iter
+            for i in range(n_iter):
                 t0 = time.perf_counter()
                 ranks = fn(i + 1)
                 times[i] = time.perf_counter() - t0
