@@ -13,12 +13,43 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Join a multi-host (DCN) JAX run. No-op when the environment already
+    describes a single process. On TPU pods the standard env variables
+    (``COORDINATOR_ADDRESS`` etc. or the TPU metadata server) are enough:
+    call with no arguments in each host process before building a mesh —
+    ``jax.devices()`` then spans every chip in the slice and the same
+    shard_map/GSPMD programs run unchanged, with XLA routing in-slice
+    collectives over ICI and cross-slice ones over DCN.
+
+    Returns the number of processes in the run."""
+    want_init = (
+        coordinator_address is not None
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    )
+    if want_init and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_count()
+
+
 def data_parallel_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    """Mesh over all addressable-or-global devices. In a multi-host run
+    ``jax.devices()`` already lists the global device set, so the same
+    mesh spans the pod slice."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
@@ -26,11 +57,19 @@ def data_parallel_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mes
 
 
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "dp") -> Dict:
-    """Shard every array along its leading (batch) axis."""
-    sharding = NamedSharding(mesh, P(axis))
+    """Shard every array along its leading (batch) axis.
 
-    def put(x):
-        return jax.device_put(x, sharding)
+    Single-host: a plain device_put. Multi-host: each process feeds its
+    LOCAL slice of the global batch (the feed is per-process) and
+    ``jax.make_array_from_process_local_data`` assembles the global
+    array — no cross-host data movement."""
+    sharding = NamedSharding(mesh, P(axis))
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    else:
+        def put(x):
+            return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

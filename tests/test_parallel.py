@@ -116,3 +116,14 @@ def test_trainer_main_with_mesh(tmp_path, mesh):
     )
     result = main(opt, mesh=mesh)
     assert result["best_perf"] > 0.2, result
+
+
+def test_initialize_multihost_noop_single_process():
+    """Without a coordinator env, initialize_multihost is a no-op and
+    reports one process; shard_batch keeps its single-host device_put path."""
+    import jax
+
+    from laff_tpu.parallel import initialize_multihost
+
+    assert initialize_multihost() == 1
+    assert jax.process_count() == 1
