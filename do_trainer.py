@@ -44,6 +44,9 @@ def parse_args(argv=None):
                         choices=[0, 1],
                         help="ship bow as sparse (ids, counts); densify "
                              "on device")
+    parser.add_argument("--resume", default=0, type=int, choices=[0, 1],
+                        help="resume a run (optimizer + LR state) from "
+                             "model_resume.pth.tar")
     args = parser.parse_args(argv)
     return Options(**vars(args))
 

@@ -76,6 +76,10 @@ class Options:
     # TPU-native extension: ship bow vectors as sparse (ids, counts) pairs
     # and densify on device (FusionTower scatter).
     device_text_featurize: int = 0
+    # TPU-native extension: FULL resume (optimizer + LR controller +
+    # counters) from <model_dir>/model_resume.pth.tar; bit-identical to an
+    # uninterrupted run (the reference can only warm-start weights).
+    resume: int = 0
 
 
 def load_config(config_name: str):

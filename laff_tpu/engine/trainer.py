@@ -553,7 +553,33 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     no_impr = 0
     mean_last: list = []
     hist_path = os.path.join(model_path, "val_perf_hist.txt")
-    hist = open(hist_path, "w")
+
+    # full resume (params + optimizer + LR controller + counters) — the
+    # reference can only warm-start weights (load_pretrained_model,
+    # strict=False; no optimizer-state resume). Per-epoch determinism
+    # (rng and shuffle keyed by epoch) makes a resumed run bit-identical
+    # to an uninterrupted one.
+    resume_path = os.path.join(model_path, "model_resume.pth.tar")
+    start_epoch = 0
+    if getattr(opt, "resume", 0) and os.path.exists(resume_path):
+        from .checkpoint import load_checkpoint
+
+        rk = load_checkpoint(resume_path)
+        state = state.replace(
+            params=rk["params"],
+            batch_stats=rk["batch_stats"] or state.batch_stats,
+            schedule=rk["schedule"] or state.schedule,
+            opt_state=rk["opt_state"],
+            step=jnp.asarray(rk["step"], jnp.int32),
+        )
+        lr_ctl.__dict__.update(rk["lr_ctl"])
+        best_perf = rk["best_perf"]
+        no_impr = rk["no_impr"]
+        mean_last = rk.get("mean_last") or []
+        start_epoch = rk["epoch"]
+        logger.info("resumed from %s at epoch %d (best %.4f)",
+                    resume_path, start_epoch, best_perf)
+    hist = open(hist_path, "a" if start_epoch else "w")
 
     def ckpt_payload(epoch):
         return {
@@ -567,8 +593,19 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             "spec": spec,
         }
 
-    result = {"best_perf": 0.0, "epochs": 0}
-    for epoch in range(opt.num_epochs):
+    def resume_payload(epoch):
+        payload = ckpt_payload(epoch)
+        payload.update(
+            opt_state=jax.tree_util.tree_map(np.asarray, state.opt_state),
+            step=int(state.step),
+            lr_ctl=dict(lr_ctl.__dict__),
+            no_impr=no_impr,
+            mean_last=mean_last,
+        )
+        return payload
+
+    result = {"best_perf": best_perf, "epochs": start_epoch}
+    for epoch in range(start_epoch, opt.num_epochs):
         lr = lr_ctl.current()
         state = set_learning_rate(state, lr)
         state = anneal_schedule(state, config.txt_attention_global_decay_rate)
@@ -634,6 +671,7 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
                 save_checkpoint(payload, os.path.join(model_path, "mean_last10.pth.tar"))
 
         no_impr += 1
+        save_checkpoint(resume_payload(epoch), resume_path)
         if no_impr > 10 or epoch == opt.num_epochs - 1:
             save_checkpoint_dance(
                 ckpt_payload(epoch), is_best=False, logdir=model_path,

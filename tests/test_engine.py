@@ -398,3 +398,42 @@ def test_train_main_device_text_featurize(tmp_path):
     result = train_main(opt)
     assert result["best_perf"] > 0
     assert os.path.exists(os.path.join(result["model_path"], "model_best.pth.tar"))
+
+
+def test_full_resume_bit_identical(tmp_path):
+    """4 epochs straight == 2 epochs + resume for 2 more: FULL resume
+    (optimizer moments, LR controller, counters) + per-epoch determinism
+    make the resumed run reproduce the uninterrupted one exactly."""
+    from dataclasses import replace
+
+    import jax
+
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.checkpoint import load_checkpoint
+    from laff_tpu.engine.trainer import main as train_main
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=16, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=5)
+    build_w2v(root)
+    base = dict(trainCollection="toytrain", valCollection="toyval",
+                rootpath=root, val_set="no", config_name="tiny",
+                batch_size=8)
+    r_a = train_main(Options(num_epochs=4, model_prefix="resA", **base))
+
+    opt_b = Options(num_epochs=2, model_prefix="resB", **base)
+    train_main(opt_b)
+    r_b = train_main(replace(opt_b, num_epochs=4, resume=1))
+
+    assert r_a["best_perf"] == r_b["best_perf"]
+    ck_a = load_checkpoint(os.path.join(r_a["model_path"], "model_best.pth.tar"))
+    ck_b = load_checkpoint(os.path.join(r_b["model_path"], "model_best.pth.tar"))
+    assert ck_a["epoch"] == ck_b["epoch"]
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ck_a["params"], ck_b["params"],
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        ck_a["batch_stats"], ck_b["batch_stats"],
+    )
