@@ -67,13 +67,12 @@ def main(argv=None):
     if getattr(config, "model_name", "") == "End2EndClip":
         from laff_tpu.engine import end2end
 
-        end2end.main(opt)
-        return 0
+        return end2end.main(opt)
     from laff_tpu.engine import trainer
 
-    trainer.main(opt)
-    return 0
+    return trainer.main(opt)
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()  # raises on failure; exit 0 otherwise
+    sys.exit(0)
