@@ -71,8 +71,12 @@ def build_collection(
                 frame_rows.append(
                     latent[i] @ proj + 0.1 * rng.standard_normal(dim).astype(np.float32)
                 )
+        # both layouts: flat (direct VisionSource tests) and the
+        # FeatureData/frame/<name> location that prepare() reads
+        rows = np.stack(frame_rows)
+        write_bigfile(os.path.join(cdir, "FeatureData", fname), frame_ids, rows)
         write_bigfile(
-            os.path.join(cdir, "FeatureData", fname), frame_ids, np.stack(frame_rows)
+            os.path.join(cdir, "FeatureData", "frame", fname), frame_ids, rows
         )
 
     os.makedirs(os.path.join(cdir, "TextData"), exist_ok=True)

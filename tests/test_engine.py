@@ -106,15 +106,6 @@ def test_frame_laff_end_to_end(tmp_path):
     build_collection(root, "toyval", n_videos=12, caps_per_video=1, seed=5,
                      frame_feat=True)
     build_w2v(root)
-    # frame features live under FeatureData/frame/<name>
-    import shutil
-
-    for coll in ("toytrain", "toyval"):
-        src = os.path.join(root, coll, "FeatureData", "clip_frames")
-        dst = os.path.join(root, coll, "FeatureData", "frame", "clip_frames")
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.move(src, dst)
-
     opt = make_opt(root, config_name="tiny_frame", num_epochs=3, batch_size=12,
                    model_prefix="run_frame")
     result = main(opt)
