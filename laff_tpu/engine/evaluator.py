@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional, Tuple
 
+import weakref
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +29,34 @@ from ..utils import get_logger
 logger = get_logger(__name__)
 
 
+# jitted tower appliers cached per model instance: a fresh Embedder is
+# built every validation epoch, and re-jitting the closures there forced
+# a full XLA recompile of both towers per epoch (~20 s/epoch through the
+# remote tunnel — 4x the actual train time at flagship dims). Variables
+# are arguments, so one compiled applier serves every epoch.
+_APPLIER_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _appliers(model):
+    try:
+        return _APPLIER_CACHE[model]
+    except KeyError:
+        pass
+
+    def _txt(variables, batch):
+        return model.apply(variables, batch, method=model.encode_txt)
+
+    def _vis(variables, batch):
+        return model.apply(variables, batch, method=model.encode_vis)
+
+    fns = (jax.jit(_txt), jax.jit(_vis))
+    try:
+        _APPLIER_CACHE[model] = fns
+    except TypeError:  # unexpected non-weakrefable model
+        pass
+    return fns
+
+
 class Embedder:
     """Jitted tower application with static batch shapes."""
 
@@ -36,15 +66,7 @@ class Embedder:
         spec = getattr(model, "spec", None)
         self._txt_bf16 = bool(spec) and spec.txt.compute_dtype == "bfloat16"
         self._vis_bf16 = bool(spec) and spec.vis.compute_dtype == "bfloat16"
-
-        def _txt(variables, batch):
-            return model.apply(variables, batch, method=model.encode_txt)
-
-        def _vis(variables, batch):
-            return model.apply(variables, batch, method=model.encode_vis)
-
-        self._txt = jax.jit(_txt)
-        self._vis = jax.jit(_vis)
+        self._txt, self._vis = _appliers(model)
 
     def _embed(self, fn, feed: EvalFeed, bf16: bool) -> Tuple[jnp.ndarray, List[str]]:
         from ..data import host_cast_bf16

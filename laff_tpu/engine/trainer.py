@@ -671,7 +671,10 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
                 save_checkpoint(payload, os.path.join(model_path, "mean_last10.pth.tar"))
 
         no_impr += 1
-        save_checkpoint(resume_payload(epoch), resume_path)
+        if getattr(opt, "resume", 0):
+            # a resumable run pays one full-state pickle (params + adam
+            # moments) per epoch; plain runs skip it
+            save_checkpoint(resume_payload(epoch), resume_path)
         if no_impr > 10 or epoch == opt.num_epochs - 1:
             save_checkpoint_dance(
                 ckpt_payload(epoch), is_best=False, logdir=model_path,

@@ -412,9 +412,11 @@ def test_full_resume_bit_identical(tmp_path):
                 batch_size=8)
     r_a = train_main(Options(num_epochs=4, model_prefix="resA", **base))
 
-    opt_b = Options(num_epochs=2, model_prefix="resB", **base)
+    # resume=1 marks the run resumable from the start (plain runs skip
+    # the per-epoch full-state pickle)
+    opt_b = Options(num_epochs=2, model_prefix="resB", resume=1, **base)
     train_main(opt_b)
-    r_b = train_main(replace(opt_b, num_epochs=4, resume=1))
+    r_b = train_main(replace(opt_b, num_epochs=4))
 
     assert r_a["best_perf"] == r_b["best_perf"]
     ck_a = load_checkpoint(os.path.join(r_a["model_path"], "model_best.pth.tar"))
