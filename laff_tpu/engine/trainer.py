@@ -48,6 +48,32 @@ from .prepare import Prepared
 logger = get_logger(__name__)
 
 
+class _AsyncSaver:
+    """One-slot background checkpoint writer: the epoch loop hands the
+    payload off and keeps training while device->host transfer + pickle +
+    disk write happen in a worker thread. submit() joins the previous
+    write first, so saves are strictly ordered and at most one is in
+    flight; join() at loop end guarantees files exist before main
+    returns."""
+
+    def __init__(self):
+        self._thread = None
+
+    def submit(self, fn, *args, **kwargs):
+        self.join()
+        import threading
+
+        self._thread = threading.Thread(
+            target=fn, args=args, kwargs=kwargs, daemon=True
+        )
+        self._thread.start()
+
+    def join(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 class TrainState(flax.struct.PyTreeNode):
     params: Any
     batch_stats: Any
@@ -582,11 +608,15 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     hist = open(hist_path, "a" if start_epoch else "w")
 
     def ckpt_payload(epoch):
+        # fetch to host HERE (main thread): device->host reads contend
+        # with training dispatches, so they must not run concurrently with
+        # the next epoch; the async saver then only pickles + writes
+        host = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
         return {
             "epoch": epoch + 1,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "schedule": state.schedule,
+            "params": host(state.params),
+            "batch_stats": host(state.batch_stats),
+            "schedule": host(state.schedule),
             "best_perf": best_perf,
             "config": config,
             "opt": asdict(opt) if hasattr(opt, "__dataclass_fields__") else vars(opt),
@@ -604,6 +634,7 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         )
         return payload
 
+    saver = _AsyncSaver()
     result = {"best_perf": best_perf, "epochs": start_epoch}
     for epoch in range(start_epoch, opt.num_epochs):
         lr = lr_ctl.current()
@@ -655,7 +686,8 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         lr_ctl.step(cur_perf)
         is_best = cur_perf > best_perf
         best_perf = max(cur_perf, best_perf)
-        save_checkpoint_dance(
+        saver.submit(
+            save_checkpoint_dance,
             ckpt_payload(epoch), is_best, logdir=model_path,
             filename=f"checkpoint_epoch_{epoch}.pth.tar",
         )
@@ -674,8 +706,9 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         if getattr(opt, "resume", 0):
             # a resumable run pays one full-state pickle (params + adam
             # moments) per epoch; plain runs skip it
-            save_checkpoint(resume_payload(epoch), resume_path)
+            saver.submit(save_checkpoint, resume_payload(epoch), resume_path)
         if no_impr > 10 or epoch == opt.num_epochs - 1:
+            saver.join()
             save_checkpoint_dance(
                 ckpt_payload(epoch), is_best=False, logdir=model_path,
                 filename=f"checkpoint_epoch_{epoch}.pth.tar", only_best=True,
@@ -684,6 +717,7 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             result["epochs"] = epoch + 1
             break
 
+    saver.join()
     hist.close()
     scalar_log.close()
     message = "best performance on validation:\n Text to video(%s): %f" % (
