@@ -430,3 +430,33 @@ def test_full_resume_bit_identical(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         ck_a["batch_stats"], ck_b["batch_stats"],
     )
+
+
+def test_embedder_appliers_cached_per_model(tmp_path):
+    """Fresh Embedders over the same model must share the jitted tower
+    appliers — per-epoch validation otherwise recompiles both towers
+    every epoch (observed ~20s/epoch at flagship dims)."""
+    import jax
+
+    from laff_tpu.engine import Options, prepare
+    from laff_tpu.engine.evaluator import Embedder
+    from laff_tpu.engine.trainer import init_state, make_optimizer
+    from laff_tpu.models import LAFFModel
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=10, caps_per_video=1, seed=0)
+    build_collection(root, "toyval", n_videos=6, caps_per_video=1, seed=5)
+    build_w2v(root)
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=root, val_set="no", config_name="tiny",
+                  batch_size=8, model_prefix="appliers")
+    prepared = prepare(opt)
+    model = LAFFModel(prepared.spec)
+    tx = make_optimizer(prepared.config)
+    state = init_state(model, prepared.spec, prepared, tx)
+    v1 = {"params": state.params, "batch_stats": state.batch_stats,
+          "schedule": state.schedule}
+    v2 = {"params": jax.tree_util.tree_map(lambda x: x * 2, state.params),
+          "batch_stats": state.batch_stats, "schedule": state.schedule}
+    e1, e2 = Embedder(model, v1), Embedder(model, v2)
+    assert e1._txt is e2._txt and e1._vis is e2._vis
