@@ -1,105 +1,10 @@
 """Synthetic-collection builder shared by data/engine/e2e tests.
 
-Builds a tiny on-disk collection in the reference layout:
-  <root>/<collection>/FeatureData/<feat>/...
-  <root>/<collection>/TextData/<collection>.caption.txt
-  <root>/<collection>/VideoSets/<collection>.txt
-plus a toy word2vec BigFile. Captions are generated so that caption i is
-latently aligned with video i (shared low-dim code), making retrieval
-learnable in a few steps.
+The implementation lives in the package (laff_tpu.data.synth) because the
+multichip dryrun and the rehearsal benchmark builder need it too; this
+module keeps the historical test-local import path working.
 """
 
-import os
-import zlib
+from laff_tpu.data.synth import WORDS, build_collection, build_w2v
 
-import numpy as np
-
-from laff_tpu.store import write_bigfile
-
-WORDS = [
-    "dog", "cat", "man", "woman", "car", "ball", "runs", "jumps", "sits",
-    "eats", "red", "blue", "big", "small", "park", "road", "water", "table",
-]
-
-
-def build_collection(
-    root: str,
-    collection: str,
-    n_videos: int = 24,
-    caps_per_video: int = 2,
-    feat_dims=(("clip_ft", 16), ("x3d", 12)),
-    latent_dim: int = 5,
-    seed: int = 0,
-    frame_feat: bool = False,
-    max_frames: int = 6,
-):
-    rng = np.random.default_rng(seed)
-    cdir = os.path.join(root, collection)
-    vids = [f"video{i}" for i in range(n_videos)]
-
-    # each video gets 4 distinct words; its latent code is the sum of fixed
-    # per-word vectors, so BoW text linearly predicts the video features
-    word_codes = np.random.default_rng(99).standard_normal(
-        (len(WORDS), latent_dim)
-    ).astype(np.float32)
-    video_words = [
-        sorted(rng.choice(len(WORDS), size=4, replace=False)) for _ in vids
-    ]
-    latent = np.stack([word_codes[w].sum(0) for w in video_words])
-
-    for feat, dim in feat_dims:
-        # zlib.crc32: stable across processes (str hash is salted)
-        proj = np.random.default_rng(zlib.crc32(feat.encode()) % 2**31).standard_normal(
-            (latent_dim, dim)
-        ).astype(np.float32)
-        mat = latent @ proj + 0.05 * rng.standard_normal((n_videos, dim)).astype(
-            np.float32
-        )
-        write_bigfile(os.path.join(cdir, "FeatureData", feat), vids, mat)
-
-    if frame_feat:
-        fname = "clip_frames"
-        dim = dict(feat_dims)["clip_ft"]
-        proj = np.random.default_rng(1234).standard_normal((latent_dim, dim)).astype(
-            np.float32
-        )
-        frame_ids, frame_rows = [], []
-        for i, vid in enumerate(vids):
-            t = int(rng.integers(2, max_frames + 1))
-            for f in range(t):
-                frame_ids.append(f"{vid}_{f}")
-                frame_rows.append(
-                    latent[i] @ proj + 0.1 * rng.standard_normal(dim).astype(np.float32)
-                )
-        # both layouts: flat (direct VisionSource tests) and the
-        # FeatureData/frame/<name> location that prepare() reads
-        rows = np.stack(frame_rows)
-        write_bigfile(os.path.join(cdir, "FeatureData", fname), frame_ids, rows)
-        write_bigfile(
-            os.path.join(cdir, "FeatureData", "frame", fname), frame_ids, rows
-        )
-
-    os.makedirs(os.path.join(cdir, "TextData"), exist_ok=True)
-    cap_lines = []
-    for i, vid in enumerate(vids):
-        base_words = [WORDS[j] for j in video_words[i]]
-        for c in range(caps_per_video):
-            order = rng.permutation(len(base_words))
-            shuffled = [base_words[j] for j in order]
-            cap_lines.append(f"{vid}#{c} the {' '.join(shuffled)}")
-    with open(os.path.join(cdir, "TextData", f"{collection}.caption.txt"), "w") as fh:
-        fh.write("\n".join(cap_lines))
-
-    os.makedirs(os.path.join(cdir, "VideoSets"), exist_ok=True)
-    with open(os.path.join(cdir, "VideoSets", f"{collection}.txt"), "w") as fh:
-        fh.write("\n".join(vids))
-
-    return cdir, vids, cap_lines
-
-
-def build_w2v(root: str, dim: int = 8, seed: int = 3) -> str:
-    rng = np.random.default_rng(seed)
-    d = os.path.join(root, "word2vec", "toy")
-    vocab = WORDS + ["the", "a"]
-    write_bigfile(d, vocab, rng.standard_normal((len(vocab), dim)).astype(np.float32))
-    return d
+__all__ = ["WORDS", "build_collection", "build_w2v"]
