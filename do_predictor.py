@@ -23,7 +23,12 @@ def parse_args(argv=None):
     parser.add_argument("--batch_size", default=1024, type=int)
     parser.add_argument("--num_workers", default=0, type=int)
     parser.add_argument("--device", default="0", type=str)
-    parser.add_argument("--task3_caption", type=str, default="no_task3_caption")
+    parser.add_argument("--task3_caption", type=str, default="no_task3_caption",
+                        help="any other value enables boolean negation "
+                             "scoring of the queries (predictneg)")
+    parser.add_argument("--neg_method", type=str, default="sub",
+                        choices=["sub", "mul"],
+                        help="negation score adjustment method")
     parser.add_argument("--each_head", type=int, default=0, choices=[0, 1],
                         help="also dump per-space (per-head) metrics")
     parser.add_argument("--rerank", type=str, default="none",

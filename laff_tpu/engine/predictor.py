@@ -57,7 +57,8 @@ class PredictOptions:
     batch_size: int = 1024
     num_workers: int = 0
     device: str = "0"
-    task3_caption: str = "no_task3_caption"
+    task3_caption: str = "no_task3_caption"  # != default: boolean negation scoring
+    neg_method: str = "sub"     # negation adjustment: sub | mul
     each_head: int = 0          # also dump per-space (per-head) metrics
     rerank: str = "none"        # none | kreciprocal | tkb
 
@@ -179,6 +180,47 @@ def negation_adjusted_scores(
     if method == "mul":
         return s * (1.0 - ns)
     raise ValueError(f"neg_method {method}")
+
+
+def embed_negation_split(embedder, txt_feed, tsrc, txt_ids):
+    """Split each query on its negation cue and embed both halves through
+    the same text tower: the positive clause (the reference scores
+    ``poscaps``, not the full query — model/model.py:1530) and the negated
+    clause. Returns ``(pos_embs, neg_embs, neg_mask)`` with mask[i]=1 iff
+    query i carries a negation; ``(None, None, mask)`` when none does.
+
+    Precomputed text features (CLIP/BERT BigFiles) have no rows for
+    synthesized clauses, so the batcher's cap_id-keyed gather reuses the
+    query's own rows there — the clause signal then comes from the
+    live-encoded modalities (bow/w2v/gru, or a live CLIP tower when one is
+    swapped in), mirroring the reference's task3 loaders dropping
+    precomputed CLIP (data_provider.py:517-518)."""
+    from ..text.textlib import split_negation
+
+    batcher = txt_feed.batcher
+    pos_by_id: Dict[str, str] = {}
+    neg_by_id: Dict[str, str] = {}
+    mask = np.zeros(len(txt_ids), np.float32)
+    for i, tid in enumerate(txt_ids):
+        positive, negated, has_neg = split_negation(tsrc.captions[tid])
+        pos_by_id[tid] = positive
+        neg_by_id[tid] = negated if has_neg else ""
+        mask[i] = 1.0 if has_neg else 0.0
+    if not mask.any():
+        return None, None, mask
+
+    def clause_feed(clause_by_id):
+        def clause_batcher(cap_ids):
+            return batcher.encode_captions(
+                [clause_by_id[c] for c in cap_ids], cap_ids
+            )
+
+        return EvalFeed(list(txt_ids), clause_batcher,
+                        batch_size=txt_feed.batch_size)
+
+    pos_embs, _ = embedder.embed_txt(clause_feed(pos_by_id))
+    neg_embs, _ = embedder.embed_txt(clause_feed(neg_by_id))
+    return pos_embs, neg_embs, mask
 
 
 def strongclip_text_featurizer(rootpath: str, test_collection: str,
@@ -349,11 +391,46 @@ def main(opt: PredictOptions) -> Dict:
                 vis_embs, vis_ids = embedder.embed_vis(vis_feed)
             scores = score_matrix(txt_embs, vis_embs, measure=measure)
 
+        scores_adjusted = False
+        if opt.task3_caption != "no_task3_caption":
+            # boolean negation scoring (reference predictneg_adhoc,
+            # model/model.py:1473-1565): score the positive clause, then
+            # demote videos matching the negated clause of each query
+            pos_embs, neg_embs, neg_mask = embed_negation_split(
+                embedder, txt_feed, tsrc, txt_ids
+            )
+            if neg_embs is not None:
+                scores_adjusted = True
+                if vis_embs is None:
+                    pos_scores, _ = score_matrix_streaming(
+                        embedder, pos_embs, vis_feed
+                    )
+                    neg_scores, _ = score_matrix_streaming(
+                        embedder, neg_embs, vis_feed
+                    )
+                else:
+                    pos_scores = score_matrix(pos_embs, vis_embs,
+                                              measure=measure)
+                    neg_scores = score_matrix(neg_embs, vis_embs,
+                                              measure=measure)
+                scores = negation_adjusted_scores(
+                    pos_scores, neg_scores, neg_mask, method=opt.neg_method
+                )
+                logger.info(
+                    "negation scoring (%s): %d/%d queries carry a negation",
+                    opt.neg_method, int(neg_mask.sum()), len(txt_ids),
+                )
+            else:
+                logger.warning(
+                    "task3_caption=%s set but no query contains a negation "
+                    "cue; scores unchanged", opt.task3_caption,
+                )
+
         if opt.rerank != "none":
             scores = apply_rerank(opt.rerank, scores, txt_embs, vis_embs)
 
         if coll not in AVS_COLLECTIONS and query_set != "simple_query.txt":
-            if opt.rerank != "none" or vis_embs is None:
+            if opt.rerank != "none" or scores_adjusted or vis_embs is None:
                 from ..eval.metrics import eval_t2v
 
                 t2v = eval_t2v(scores, txt_ids, vis_ids)

@@ -90,6 +90,71 @@ def test_predict_avs_style_dump(trained_world, monkeypatch):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_predict_negation_scoring(trained_world):
+    """--task3_caption activates boolean negation scoring: a query whose
+    negated clause matches video B demotes B relative to the plain run
+    (reference predictneg_adhoc, model/model.py:1473-1565)."""
+    root, model_path = trained_world
+
+    # per-video word sets from the synthetic captions
+    words = {}
+    cap_path = os.path.join(root, "toytest", "TextData", "toytest.caption.txt")
+    for line in open(cap_path):
+        tid, caption = line.strip().split(None, 1)
+        vid = tid.split("#")[0]
+        words.setdefault(vid, [w for w in caption.split() if w != "the"])
+
+    # every video gets a query (v2t eval needs full coverage, as in the
+    # reference); each query negates the words of another video
+    vids = sorted(words, key=lambda v: int(v[5:]))
+    pairs = [(vids[i], vids[(i + 5) % len(vids)]) for i in range(len(vids))]
+    neg_lines, pos_lines = [], []
+    for a, b in pairs:
+        neg_lines.append(
+            f"{a}#0 the {' '.join(words[a])} not {' '.join(words[b])}"
+        )
+        pos_lines.append(f"{a}#0 the {' '.join(words[a])}")
+    tdir = os.path.join(root, "toytest", "TextData")
+    open(os.path.join(tdir, "negquery.txt"), "w").write("\n".join(neg_lines))
+    open(os.path.join(tdir, "posquery.txt"), "w").write("\n".join(pos_lines))
+
+    def run(sim_name, query_set, task3_caption, neg_method="sub"):
+        opt = PredictOptions(
+            testCollection="toytest",
+            model_path=os.path.join(model_path, "model_best.pth.tar"),
+            sim_name=sim_name, rootpath=root, query_sets=query_set,
+            predict_result_file=os.path.join(root, "result_log", "neg.txt"),
+            batch_size=4, overwrite=1,
+            task3_caption=task3_caption, neg_method=neg_method,
+        )
+        predict_main(opt)
+        pkl = os.path.join(root, "toytest", "SimilarityIndex", query_set,
+                           sim_name, "t2v.pkl")
+        with open(pkl, "rb") as fh:
+            return pickle.load(fh)
+
+    # base: the positive clauses scored plainly — the same scoring base the
+    # negation path uses before subtracting the negated-clause similarity
+    base = run("neg_off", "posquery.txt", "no_task3_caption")
+    adj = run("neg_on", "negquery.txt", "false")
+    adj_mul = run("neg_on_mul", "negquery.txt", "false", neg_method="mul")
+
+    def mean_rank_of_negated(dump):
+        return np.mean(
+            [dump[f"{a}#0"]["rank_list"].index(b) for a, b in pairs]
+        )
+
+    r_base = mean_rank_of_negated(base)
+    r_sub = mean_rank_of_negated(adj)
+    r_mul = mean_rank_of_negated(adj_mul)
+    # negated videos are demoted on average by the subtraction
+    assert r_sub > r_base, (r_base, r_sub)
+    assert r_mul > r_base, (r_base, r_mul)
+    # and the negation run's scores differ from the plain run's
+    some = f"{pairs[0][0]}#0"
+    assert adj[some]["sim_value"] != base[some]["sim_value"]
+
+
 def test_predict_skip_guard(trained_world):
     """overwrite=0 + existing output -> skipped (no recompute)."""
     root, model_path = trained_world
