@@ -159,6 +159,39 @@ def _no_transform_keys(names) -> Tuple[str, ...]:
     return tuple(_ENCODER_ALIASES.get(n, n) for n in names)
 
 
+def _tied_transforms(config, txt_dims, vis_dims):
+    """Decode ``txt_fc_same_with_vis_fc`` / ``_dict`` (reference
+    configs/base_config.py:268-271) into (txt feature, vis feature) tie
+    pairs. Dict keys are reference encoder names ('CLIP_encoder',
+    'bert_encoding', ...); values are vis feature names. An empty dict on
+    the concat/concat architecture ties the whole transform (reference
+    W2VVPP, model/model.py:764-768)."""
+    if not getattr(config, "txt_fc_same_with_vis_fc", False):
+        return ()
+    tie_dict = getattr(config, "txt_fc_same_with_vis_fc_dict", {}) or {}
+    if not tie_dict:
+        if (config.txt_attention == "concat"
+                and config.vis_attention == "concat"):
+            return (("__concat__", "__concat__"),)
+        raise ValueError(
+            "txt_fc_same_with_vis_fc=True needs txt_fc_same_with_vis_fc_dict "
+            "entries (or concat fusion on both towers)"
+        )
+    pairs = []
+    for enc_key, vis_name in tie_dict.items():
+        txt_name = enc_key.split("_")[0].lower()
+        if txt_name in ("gru", "bigru"):
+            txt_name = "rnn"
+        if txt_name not in txt_dims or vis_name not in vis_dims:
+            raise ValueError(
+                f"txt_fc_same_with_vis_fc is not matching encoder_name_list: "
+                f"({enc_key} -> {txt_name!r}, {vis_name!r}); active txt "
+                f"features {sorted(txt_dims)}, vis features {sorted(vis_dims)}"
+            )
+        pairs.append((txt_name, vis_name))
+    return tuple(pairs)
+
+
 def build_spec(
     config,
     vis_dims: Dict[str, int],
@@ -168,12 +201,6 @@ def build_spec(
     task3: bool = False,
 ) -> LAFFSpec:
     """config + discovered feature dims -> frozen LAFFSpec."""
-    if getattr(config, "txt_fc_same_with_vis_fc", False):
-        raise NotImplementedError(
-            "txt_fc_same_with_vis_fc (cross-tower weight tying, reference "
-            "model/model.py:1954-1966) is not supported; train without the "
-            "tie or share weights offline via the torch export/import pair"
-        )
     if isinstance(config.txt_fc_layers, str):
         txt_common = int(config.txt_fc_layers.split("-")[1])
     else:
@@ -267,6 +294,7 @@ def build_spec(
     return LAFFSpec(
         txt=txt,
         vis=vis,
+        tied_transforms=_tied_transforms(config, txt_dims, vis_dims),
         multi_space=config.multi_space,
         measure=config.measure,
         margin=config.margin,

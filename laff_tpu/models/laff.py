@@ -25,7 +25,7 @@ we do NOT reproduce; we use each sample's own mask.)
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -62,10 +62,16 @@ def _transform_spec_for(spec: TowerSpec, name: str, dim_in: int) -> TransformSpe
 
 class FusionTower(nn.Module):
     """feature dict -> (B, H, d) multi-space embedding (or (B, D) for
-    single-space attention kinds / 'concat')."""
+    single-space attention kinds / 'concat').
+
+    ``tied_modules`` maps feature names to TransformNets owned by the
+    parent LAFFModel and shared with the other tower (cross-tower weight
+    tying, reference ``txt_fc_same_with_vis_fc``); '__concat__' ties the
+    concat-path transform."""
 
     spec: TowerSpec
     is_visual: bool = False
+    tied_modules: Optional[Dict[str, nn.Module]] = None
 
     @nn.compact
     def __call__(
@@ -126,6 +132,7 @@ class FusionTower(nn.Module):
                 dim_out=spec.common_dim, activation=spec.activation,
                 dropout=spec.dropout, batch_norm=spec.batch_norm,
                 dtype=_dtype_of(spec),
+                shared_fc=self._tied("__concat__"),
                 name="transform",
             )(cat, train=train)
 
@@ -150,6 +157,7 @@ class FusionTower(nn.Module):
                 activation=tspec.activation, dropout=tspec.dropout,
                 batch_norm=tspec.batch_norm,
                 dtype=_dtype_of(spec),
+                shared_fc=self._tied(name),
                 name=f"transform_{_safe(name)}",
             )(feat, train=train)
             locals_.append(feat)
@@ -184,6 +192,11 @@ class FusionTower(nn.Module):
         )
         return attn(local_embs)
 
+    def _tied(self, name):
+        if self.tied_modules:
+            return self.tied_modules.get(name)
+        return None
+
     def _raw_feature(self, name, inputs, frame_pooled, train):
         if name in frame_pooled:
             return frame_pooled[name]
@@ -214,8 +227,65 @@ class LAFFModel(nn.Module):
     spec: LAFFSpec
 
     def setup(self):
-        self.txt_tower = FusionTower(self.spec.txt, is_visual=False, name="txt_net")
-        self.vis_tower = FusionTower(self.spec.vis, is_visual=True, name="vis_net")
+        txt_tied, vis_tied = self._build_tied_transforms()
+        self.txt_tower = FusionTower(self.spec.txt, is_visual=False,
+                                     tied_modules=txt_tied, name="txt_net")
+        self.vis_tower = FusionTower(self.spec.vis, is_visual=True,
+                                     tied_modules=vis_tied, name="vis_net")
+
+    def _build_tied_transforms(self):
+        """Cross-tower weight tying (reference ``txt_fc_same_with_vis_fc``,
+        'txt fc 和 vis fc 相同'): ONE Dense (fc1), owned by this module,
+        used by both towers for each tied pair; dropout and BatchNorm
+        statistics stay per-tower (blending BN running stats across the two
+        input distributions wrecks eval-mode normalization). The
+        reference's multi-head class only validates dims — its module swap
+        is a silent no-op (model/model.py:1956-1963 assigns into a
+        throwaway ``dict(named_modules())``); we implement the documented
+        intent, as the base W2VVPP class does (model/model.py:764-768)."""
+        if not self.spec.tied_transforms:
+            return None, None
+        txt_tied: Dict[str, nn.Module] = {}
+        vis_tied: Dict[str, nn.Module] = {}
+        modules = []
+        for txt_name, vis_name in self.spec.tied_transforms:
+            if txt_name == "__concat__":
+                if (self.spec.txt.attention.kind != "concat"
+                        or self.spec.vis.attention.kind != "concat"):
+                    raise ValueError(
+                        "__concat__ tying needs 'concat' fusion on both towers"
+                    )
+                dim_in = sum(d for _, d in self.spec.txt.features)
+                vis_in = sum(d for _, d in self.spec.vis.features)
+            else:
+                dim_in = dict(self.spec.txt.features)[txt_name]
+                vis_in = dict(self.spec.vis.features)[vis_name]
+                tspec = _transform_spec_for(self.spec.vis, vis_name, vis_in)
+                if not tspec.fc:
+                    raise ValueError(
+                        f"txt_fc_same_with_vis_fc: vis feature {vis_name!r} "
+                        f"has no fc to tie (no_transform)"
+                    )
+            if dim_in != vis_in or self.spec.txt.common_dim != self.spec.vis.common_dim:
+                # reference raise: "txt_fc is not matching vis_fc"
+                raise ValueError(
+                    f"txt_fc_same_with_vis_fc: tied pair ({txt_name}, "
+                    f"{vis_name}) dims do not match "
+                    f"({dim_in}/{self.spec.txt.common_dim} vs "
+                    f"{vis_in}/{self.spec.vis.common_dim})"
+                )
+            module = nn.Dense(
+                self.spec.vis.common_dim,
+                kernel_init=nn.initializers.xavier_uniform(),
+                bias_init=nn.initializers.zeros,
+                dtype=_dtype_of(self.spec.vis),
+                name=f"tied_fc_{_safe(txt_name)}_{_safe(vis_name)}",
+            )
+            txt_tied[txt_name] = module
+            vis_tied[vis_name] = module
+            modules.append(module)
+        self._tied_modules = tuple(modules)  # keep them registered in setup
+        return txt_tied, vis_tied
 
     def encode_txt(self, inputs: Dict[str, jnp.ndarray], train: bool = False):
         return self.txt_tower(inputs, train=train)

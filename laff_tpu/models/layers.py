@@ -31,19 +31,24 @@ class TransformNet(nn.Module):
     dropout: float = 0.2
     batch_norm: bool = False
     dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 on TPU); params f32
+    # externally owned Dense replacing fc1 (cross-tower weight tying,
+    # txt_fc_same_with_vis_fc): the linear map is shared, while dropout and
+    # BatchNorm statistics stay per-tower
+    shared_fc: Optional[nn.Module] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         if self.dtype is not None:
             x = x.astype(self.dtype)
         if self.fc:
-            x = nn.Dense(
+            dense = self.shared_fc or nn.Dense(
                 self.dim_out,
                 kernel_init=nn.initializers.xavier_uniform(),
                 bias_init=nn.initializers.zeros,
                 dtype=self.dtype,
                 name="fc1",
-            )(x)
+            )
+            x = dense(x)
         if self.activation and self.activation in _ACTIVATIONS:
             x = _ACTIVATIONS[self.activation](x)
         if self.dropout and self.dropout > 1e-3:

@@ -109,6 +109,11 @@ class LAFFSpec:
 
     txt: TowerSpec
     vis: TowerSpec
+    # cross-tower weight tying (reference txt_fc_same_with_vis_fc,
+    # model/model.py:764-768 and 1954-1966): (txt feature, vis feature)
+    # pairs whose TransformNets share one parameter set. The special pair
+    # ("__concat__", "__concat__") ties the whole concat-path transform.
+    tied_transforms: Tuple[Tuple[str, str], ...] = ()
     multi_space: bool = True
     measure: str = "cosine"
     margin: float = 0.2

@@ -460,3 +460,33 @@ def test_embedder_appliers_cached_per_model(tmp_path):
           "batch_stats": state.batch_stats, "schedule": state.schedule}
     e1, e2 = Embedder(model, v1), Embedder(model, v2)
     assert e1._txt is e2._txt and e1._vis is e2._vis
+
+
+def test_train_with_tied_transforms(tmp_path):
+    """tiny_tied config: cross-tower weight tying trains end-to-end; the
+    checkpoint carries the shared TransformNet and neither tower has a
+    private copy for the tied pair."""
+    root = str(tmp_path)
+    feat_dims = (("clip_ft", 16), ("w2v_like8", 8))
+    build_collection(root, "toytrain", n_videos=32, caps_per_video=2,
+                     feat_dims=feat_dims, seed=0)
+    build_collection(root, "toyval", n_videos=16, caps_per_video=1,
+                     feat_dims=feat_dims, seed=5)
+    build_w2v(root)
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=root,
+        val_set="no", config_name="tiny_tied", num_epochs=10, batch_size=16,
+        model_prefix="tied_run", metric="mir",
+    )
+    result = main(opt)
+    assert result["best_perf"] > 0.2, result
+    ckpt = load_checkpoint(os.path.join(result["model_path"],
+                                        "model_best.pth.tar"))
+    assert ckpt["spec"].tied_transforms == (("w2v", "w2v_like8"),)
+    params = ckpt["params"]
+    assert "tied_fc_w2v_w2v_like8" in params
+    # per-tower BN remains private; the fc is shared
+    assert "fc1" not in params["txt_net"]["transform_w2v"]
+    assert "bn1" in params["txt_net"]["transform_w2v"]
+    assert "fc1" not in params["vis_net"]["transform_w2v_like8"]
+    assert "bn1" in params["vis_net"]["transform_w2v_like8"]

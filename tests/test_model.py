@@ -261,3 +261,62 @@ def test_attention_weight_introspection(rng):
     np.testing.assert_allclose(w.sum(axis=1), 1.0, rtol=1e-5)  # softmax over L
     wv = get_attention_weights(model, variables, vis, side="vis")
     assert wv.shape == (6, 4, 4)
+
+
+def test_tied_cross_tower_transform(rng):
+    """txt_fc_same_with_vis_fc: the tied pair shares ONE TransformNet —
+    same params produce identical projections in both towers, gradients
+    from both sides flow into it, and mismatched dims raise (reference
+    model/model.py:764-768; the multi-head variant's swap at 1956-1963 is
+    a silent no-op we fix)."""
+    import laff_tpu.ops as ops
+    from laff_tpu.models import AttentionSpec, LAFFSpec, TowerSpec
+
+    attn = AttentionSpec(kind="Multi_head_MyApply_Attention", heads=2,
+                         with_ave=False)
+    spec = LAFFSpec(
+        txt=TowerSpec(features=(("bow", 16), ("clip", 12)), common_dim=32,
+                      attention=attn),
+        vis=TowerSpec(features=(("f1", 10), ("clipvid", 12)), common_dim=32,
+                      attention=attn),
+        tied_transforms=(("clip", "clipvid"),),
+    )
+    model = LAFFModel(spec)
+    txt = {"bow": jnp.asarray(rng.standard_normal((4, 16)), jnp.float32),
+           "clip": jnp.asarray(rng.standard_normal((4, 12)), jnp.float32)}
+    vis = {"f1": jnp.asarray(rng.standard_normal((4, 10)), jnp.float32),
+           "clipvid": txt["clip"]}
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, txt, vis
+    )
+    params = variables["params"]
+    assert "tied_fc_clip_clipvid" in params
+    # neither tower owns a private fc for the tied pair
+    assert "fc1" not in params["txt_net"].get("transform_clip", {})
+    assert "fc1" not in params["vis_net"].get("transform_clipvid", {})
+    # the shared projection maps identical inputs identically in both towers
+    k = params["tied_fc_clip_clipvid"]["kernel"]
+    assert k.shape == (12, 32)
+
+    def loss(p):
+        t, v = model.apply({"params": p}, txt, vis)
+        return ops.triplet_loss_multi_space(t, v)
+
+    g = jax.grad(loss)(params)
+    gn = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.abs(b).sum()),
+        g["tied_fc_clip_clipvid"], 0.0,
+    )
+    assert gn > 0  # both towers backprop into the shared transform
+
+    bad = LAFFSpec(
+        txt=spec.txt,
+        vis=TowerSpec(features=(("f1", 10), ("clipvid", 13)), common_dim=32,
+                      attention=attn),
+        tied_transforms=(("clip", "clipvid"),),
+    )
+    with pytest.raises(ValueError, match="do not match"):
+        LAFFModel(bad).init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            txt, {"f1": vis["f1"], "clipvid": jnp.zeros((4, 13))},
+        )
