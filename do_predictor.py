@@ -32,8 +32,16 @@ def parse_args(argv=None):
     parser.add_argument("--each_head", type=int, default=0, choices=[0, 1],
                         help="also dump per-space (per-head) metrics")
     parser.add_argument("--rerank", type=str, default="none",
-                        choices=["none", "kreciprocal", "tkb"],
+                        choices=["none", "kreciprocal", "tkb", "concept"],
                         help="post-processing re-ranking of the score matrix")
+    parser.add_argument("--concept_pkl", type=str, default="",
+                        help="video<->concept CLIP sim pkl (rerank=concept)")
+    parser.add_argument("--concept_weight", type=float, default=2.0)
+    parser.add_argument("--concept_topk", type=int, default=1000)
+    parser.add_argument("--concept_bow_counts", type=str, default="",
+                        help="vocab count file ('word count' per line) for idf")
+    parser.add_argument("--concept_caption", type=str, default="",
+                        help="caption file for idf substring-count fallback")
     args = parser.parse_args(argv)
     return PredictOptions(**vars(args))
 

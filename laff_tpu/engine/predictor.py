@@ -60,7 +60,14 @@ class PredictOptions:
     task3_caption: str = "no_task3_caption"  # != default: boolean negation scoring
     neg_method: str = "sub"     # negation adjustment: sub | mul
     each_head: int = 0          # also dump per-space (per-head) metrics
-    rerank: str = "none"        # none | kreciprocal | tkb
+    rerank: str = "none"        # none | kreciprocal | tkb | concept
+    # concept re-ranking inputs (reference predict_concept_rerank,
+    # model/model.py:1352-1406 + ReRank.py:161-371)
+    concept_pkl: str = ""       # video<->concept CLIP sim pkl
+    concept_weight: float = 2.0
+    concept_topk: int = 1000
+    concept_bow_counts: str = ""  # vocab count file ('word count' lines)
+    concept_caption: str = ""     # caption file for substring-count fallback
 
 
 def _topk_rankings(scores: np.ndarray, k: int):
@@ -159,6 +166,47 @@ def apply_rerank(
         boost = tkb_rerank(scores, g_g)
         return scores + boost
     raise ValueError(f"unknown rerank '{kind}'")
+
+
+def concept_rerank_scores(
+    opt: PredictOptions,
+    scores: np.ndarray,
+    txt_ids: List[str],
+    vis_ids: List[str],
+    tsrc,
+) -> np.ndarray:
+    """Concept-space re-scoring (reference ``predict_concept_rerank``):
+    align this gallery's vis_ids with the concept pkl's columns, blend
+    ``scores + weight * concept_sim``, l2-normalize rows."""
+    from ..eval.rerank import ConceptRerank, load_word_counts
+
+    if not opt.concept_pkl:
+        raise ValueError("--rerank concept needs --concept_pkl")
+    with open(opt.concept_pkl, "rb") as fh:
+        blob = pickle.load(fh)
+    col_of = {v: i for i, v in enumerate(np.asarray(blob["vis_ids"]).tolist())}
+    try:
+        video_index_list = [col_of[v] for v in vis_ids]
+    except KeyError as e:
+        raise KeyError(
+            f"gallery video {e} missing from concept pkl "
+            f"{opt.concept_pkl} vis_ids"
+        ) from None
+    word_counts = (
+        load_word_counts(opt.concept_bow_counts)
+        if opt.concept_bow_counts else None
+    )
+    caption_text = ""
+    if opt.concept_caption:
+        with open(opt.concept_caption) as fh:
+            caption_text = fh.read()
+    rr = ConceptRerank(
+        opt.concept_pkl, video_index_list, scores,
+        [tsrc.captions[t] for t in txt_ids],
+        topK=opt.concept_topk, word_counts=word_counts,
+        caption_text=caption_text,
+    )
+    return rr.rerank(weight=opt.concept_weight)
 
 
 def negation_adjusted_scores(
@@ -426,7 +474,9 @@ def main(opt: PredictOptions) -> Dict:
                     "cue; scores unchanged", opt.task3_caption,
                 )
 
-        if opt.rerank != "none":
+        if opt.rerank == "concept":
+            scores = concept_rerank_scores(opt, scores, txt_ids, vis_ids, tsrc)
+        elif opt.rerank != "none":
             scores = apply_rerank(opt.rerank, scores, txt_embs, vis_embs)
 
         if coll not in AVS_COLLECTIONS and query_set != "simple_query.txt":

@@ -219,6 +219,24 @@ class ConceptRerank:
             out[q, self.top_idx[q]] = sims[q, self.top_idx[q]]
         return out
 
-    def rerank(self, alpha: float = 0.2) -> np.ndarray:
-        """model_sim + alpha * concept_sim (additive blend)."""
-        return self.model_sim_matrix + alpha * self.concept_sim_matrix()
+    def rerank(self, weight: float = 2.0, l2norm_rows: bool = True) -> np.ndarray:
+        """model_sim + weight * concept_sim, rows l2-normalized (reference
+        ``predict_concept_rerank``, model/model.py:1391-1405: Concept_weight
+        default 2, final ``l2norm``)."""
+        out = self.model_sim_matrix + weight * self.concept_sim_matrix()
+        if l2norm_rows:
+            norms = np.sqrt((out * out).sum(1, keepdims=True)) + 1e-13 + 1e-14
+            out = out / norms
+        return out
+
+
+def load_word_counts(path: str) -> Dict[str, int]:
+    """Parse a vocab count file ('word count' per line, the
+    ``bow_nsw_5.txt`` format the reference build_vocab writes)."""
+    counts: Dict[str, int] = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = line.strip().split()
+            if len(parts) >= 2:
+                counts[parts[0]] = int(parts[1])
+    return counts

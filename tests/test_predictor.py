@@ -207,3 +207,45 @@ def test_streaming_gallery_path(trained_world, monkeypatch):
     )
     streamed = P.main(opt2)["toytest.caption.txt"]["t2v"]
     np.testing.assert_allclose(streamed, cached, rtol=1e-5, atol=1e-6)
+
+
+def test_predict_concept_rerank(trained_world):
+    """--rerank concept: a concept pkl aligned with the gallery blends
+    concept-space similarity into the scores (CLI-reachable path)."""
+    root, model_path = trained_world
+
+    vis_ids = open(
+        os.path.join(root, "toytest", "VideoSets", "toytest.txt")
+    ).read().split()
+    # concept matrix over a SUPERSET of the gallery in a different order
+    # (exercises the vis_id -> pkl-column alignment)
+    pkl_vids = vis_ids[::-1] + ["extra1", "extra2"]
+    concepts = ["dog", "car", "water"]
+    rng = np.random.default_rng(7)
+    video_concept = rng.random((len(concepts), len(pkl_vids))).astype(np.float32)
+    pkl_path = os.path.join(root, "concept.pkl")
+    with open(pkl_path, "wb") as fh:
+        pickle.dump(
+            {"txt2video_cos_sim_matrix": video_concept,
+             "txt_ids": np.array(concepts), "vis_ids": np.array(pkl_vids)},
+            fh,
+        )
+
+    def run(sim_name, rerank):
+        opt = PredictOptions(
+            testCollection="toytest",
+            model_path=os.path.join(model_path, "model_best.pth.tar"),
+            sim_name=sim_name, rootpath=root,
+            query_sets="toytest.caption.txt",
+            predict_result_file=os.path.join(root, "result_log", "cr.txt"),
+            batch_size=16, overwrite=1, rerank=rerank,
+            concept_pkl=pkl_path, concept_topk=10,
+            concept_caption=os.path.join(root, "toytest", "TextData",
+                                         "toytest.caption.txt"),
+        )
+        return predict_main(opt)["toytest.caption.txt"]["t2v"]
+
+    plain = run("cr_off", "none")
+    blended = run("cr_on", "concept")
+    assert len(blended) == 7 and np.isfinite(blended).all()
+    assert tuple(blended) != tuple(plain)  # concept signal moved the metrics

@@ -89,7 +89,86 @@ def test_concept_rerank(tmp_path, rng):
     # query 0 mentions 'dog' -> concept row nonzero
     assert rr.query_concept[0, 0] == 1.0
     assert rr.query_concept[1, 1] == 1.0
-    blended = rr.rerank(alpha=0.5)
+    blended = rr.rerank(weight=0.5)
     assert blended.shape == model_sim.shape
     # doggy video outranks others for the dog query after blending
     assert np.argmax(blended[0]) == 2
+
+
+def _load_reference_rerank():
+    import importlib.util
+    import sys
+
+    ref_path = "/root/reference/model/ReRank.py"
+    sys.path.insert(0, "/root/reference")
+    try:
+        spec = importlib.util.spec_from_file_location("_ref_rerank2", ref_path)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+        return ref
+    finally:
+        sys.path.remove("/root/reference")
+
+
+def test_concept_rerank_matches_reference_oracle(tmp_path, rng, monkeypatch):
+    """Numerical parity of the concept-space scoring with the reference
+    Concept_re_ranking (ReRank.py:161-371), executed from the mounted tree.
+    nltk corpora are unavailable offline, so BOTH sides run with query
+    lemmatization stubbed to lowercase passthrough — the idf weighting,
+    topK zeroing, cosine blend, and final predict-path l2norm are what the
+    oracle checks."""
+    try:
+        ref = _load_reference_rerank()
+    except Exception as e:
+        pytest.skip(f"reference oracle unavailable: {e}")
+
+    concepts = ["dog", "car", "water", "tree", "road", "horse"]
+    n_videos, n_query = 15, 4
+    video_concept = rng.random((len(concepts), n_videos + 5)).astype(np.float32)
+    pkl = str(tmp_path / "vc.pkl")
+    with open(pkl, "wb") as fh:
+        pickle.dump(
+            {"txt2video_cos_sim_matrix": video_concept,
+             "txt_ids": np.array(concepts),
+             "vis_ids": np.array([f"v{i}" for i in range(n_videos + 5)])},
+            fh,
+        )
+    counts_file = str(tmp_path / "bow_nsw_5.txt")
+    open(counts_file, "w").write("dog 5\ncar 10\nwater 50\ntree 2\n")
+    caption_file = str(tmp_path / "caps.txt")
+    open(caption_file, "w").write("v0#0 a dog on the road\nv1#0 a horse\n")
+
+    # deliberately permuted gallery subset of the pkl's columns
+    video_index_list = [3, 0, 7, 12, 5, 9, 1, 14, 8, 2, 4, 6, 10, 11, 13][:n_videos]
+    model_sim = rng.random((n_query, n_videos)).astype(np.float32)
+    queries = ["a dog near a tree", "car on the road",
+               "water and a horse", "nothing matches"]
+
+    class _Oracle(ref.Concept_re_ranking):
+        def query_precess(self, query_txts):
+            return [q.lower() for q in query_txts]
+
+    oracle = _Oracle(pkl, video_index_list, model_sim, queries,
+                     topK=8, bow_nsw_path=counts_file,
+                     caption_path=caption_file)
+    oracle_sim = oracle.get_query_concept_sim_matrix()
+
+    import laff_tpu.eval.rerank as R
+
+    monkeypatch.setattr(R, "_lemmatize_query", lambda t: t.lower())
+    from laff_tpu.eval.rerank import load_word_counts
+
+    ours = ConceptRerank(
+        pkl, video_index_list, model_sim, queries, topK=8,
+        word_counts=load_word_counts(counts_file),
+        caption_text=open(caption_file).read(),
+    )
+    np.testing.assert_allclose(ours.concept_sim_matrix(), oracle_sim,
+                               rtol=1e-5, atol=1e-6)
+
+    # predict-path blend: scores + 2 * concept_sim, rows l2-normalized
+    # (reference model/model.py:1396-1405)
+    blended = ours.rerank(weight=2.0)
+    expect = model_sim + 2.0 * oracle_sim
+    norms = np.sqrt((expect * expect).sum(1, keepdims=True)) + 1e-13 + 1e-14
+    np.testing.assert_allclose(blended, expect / norms, rtol=1e-5, atol=1e-6)
