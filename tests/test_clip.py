@@ -38,28 +38,11 @@ def test_tokenize_matrix_shape():
     assert long[0, -1] == tok.eot
 
 
-def test_tokenizer_matches_reference_oracle():
-    """Our BPE output must equal the reference vendored tokenizer."""
+def test_tokenizer_matches_reference_oracle(reference_stubs):
+    """Our BPE output must equal the reference vendored tokenizer.
+    The reference imports ftfy (not installed); for well-formed unicode
+    ftfy.fix_text is the identity, so the shared stubs cover the oracle."""
     import importlib.util
-    import types
-
-    # the reference imports ftfy (not installed); for well-formed unicode
-    # ftfy.fix_text is the identity, so stub it for the oracle
-    if "ftfy" not in sys.modules:
-        ftfy_stub = types.ModuleType("ftfy")
-        ftfy_stub.fix_text = lambda s: s
-        sys.modules["ftfy"] = ftfy_stub
-    if "regex" not in sys.modules:
-        try:
-            import regex  # noqa: F401
-        except ImportError:
-            import re as _re
-
-            regex_stub = types.ModuleType("regex")
-            regex_stub.compile = _re.compile
-            regex_stub.IGNORECASE = _re.IGNORECASE
-            regex_stub.findall = _re.findall
-            sys.modules["regex"] = regex_stub
 
     sys.path.insert(0, "/root/reference")
     try:

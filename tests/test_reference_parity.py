@@ -64,39 +64,13 @@ def reference_world(tmp_path_factory):
 
 
 def _stub_missing_deps():
-    """torchvision isn't installed; the reference only needs its names at
-    import time (CLIP preprocess constructors), so stub them."""
-    import types
+    """torchvision/ftfy aren't installed; the reference only needs their
+    names at import time (CLIP preprocess constructors). Shared stubs with
+    proper ModuleSpecs — a bare stub's None __spec__ poisons later imports
+    in the same process."""
+    from _stubs import install_reference_stubs
 
-    if "ftfy" not in sys.modules:
-        import importlib.machinery
-
-        ftfy = types.ModuleType("ftfy")
-        ftfy.fix_text = lambda s: s
-        ftfy.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
-        sys.modules["ftfy"] = ftfy
-    if "torchvision" in sys.modules:
-        return
-    import importlib.machinery
-
-    def _spec(name):
-        return importlib.machinery.ModuleSpec(name, loader=None)
-
-    tv = types.ModuleType("torchvision")
-    tv.__spec__ = _spec("torchvision")
-    transforms = types.ModuleType("torchvision.transforms")
-    transforms.__spec__ = _spec("torchvision.transforms")
-    for name in ("Compose", "Resize", "CenterCrop", "TenCrop", "Lambda",
-                 "ToTensor", "Normalize", "RandomResizedCrop"):
-        setattr(transforms, name, object)
-    datasets = types.ModuleType("torchvision.datasets")
-    datasets.__spec__ = _spec("torchvision.datasets")
-    datasets.Kinetics400 = object
-    tv.transforms = transforms
-    tv.datasets = datasets
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.transforms"] = transforms
-    sys.modules["torchvision.datasets"] = datasets
+    install_reference_stubs()
 
 
 def _load_reference_model(world):
