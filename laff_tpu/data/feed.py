@@ -61,6 +61,7 @@ class TextBatcher:
         featurizers: Dict[str, Txt2Vec],
         max_txtlength: int = 77,
         indexed_bow: bool = False,
+        indexed_w2v: bool = False,
     ) -> None:
         self.source = source
         self.featurizers = featurizers
@@ -69,6 +70,10 @@ class TextBatcher:
         # (FusionTower scatter) — shrinks the per-caption transfer from a
         # vocab-wide dense row to ~max_txtlength int32/f32 pairs
         self.indexed_bow = indexed_bow
+        # ship w2v as (ids, n) row indices into a device-resident table
+        # (the train step mean-pools on device); needs the w2v featurizer's
+        # build_row_index to have run
+        self.indexed_w2v = indexed_w2v
 
     def __call__(self, cap_ids: Sequence[str]) -> Dict[str, np.ndarray]:
         captions = self.source.captions_for(cap_ids)
@@ -106,6 +111,10 @@ class TextBatcher:
                 ids, cnt = t2v.encode_batch_indexed(captions, self.max_txtlength)
                 batch["bow_ids"] = ids
                 batch["bow_cnt"] = cnt
+            elif name == "w2v" and self.indexed_w2v:
+                ids, n = t2v.encode_batch_indexed(captions, self.max_txtlength)
+                batch["w2v_ids"] = ids
+                batch["w2v_len"] = n
             else:
                 batch[name] = t2v.encode_batch(captions)
         return batch

@@ -28,9 +28,14 @@ logger = get_logger(__name__)
 
 
 class DeviceVisCache:
-    """All train video features resident on device; lookup by vis_id."""
+    """All train video features resident on device; lookup by vis_id.
 
-    def __init__(self, vis_batcher, bf16: bool = False, chunk: int = 512):
+    With a mesh the cache is replicated across it (a few hundred MB at
+    LAFF scale) and the per-batch row indices shard over dp like the rest
+    of the batch, so the device-side gather yields dp-sharded features."""
+
+    def __init__(self, vis_batcher, bf16: bool = False, chunk: int = 512,
+                 mesh=None):
         source = vis_batcher.source
         vids = list(source.vis_ids)
         self.row = {v: i for i, v in enumerate(vids)}
@@ -41,9 +46,12 @@ class DeviceVisCache:
         arrays = {n: np.concatenate([p[n] for p in parts]) for n in names}
         if bf16:
             arrays = host_cast_bf16(arrays)
-        self.arrays: Dict[str, jnp.ndarray] = {
-            n: jnp.asarray(a) for n, a in arrays.items()
-        }
+        if mesh is not None:
+            from ..parallel import replicate
+
+            self.arrays: Dict[str, jnp.ndarray] = replicate(arrays, mesh)
+        else:
+            self.arrays = {n: jnp.asarray(a) for n, a in arrays.items()}
         self.nbytes = sum(
             int(a.size) * a.dtype.itemsize for a in self.arrays.values()
         )

@@ -321,6 +321,9 @@ class Prepared:
     gru_vocab: Optional[object]
     we: Optional[np.ndarray]
     train2_feed: Optional[PairFeed] = None
+    # device w2v mean-pool table (K+1, D) when device_text_featurize covers
+    # the w2v encoder; the train step closes over it in HBM
+    w2v_table: Optional[np.ndarray] = None
 
 
 def _collection_paths(rootpath, collection, val_set=""):
@@ -432,12 +435,13 @@ def build_featurizers(config, rootpath, vocab_collection, train_capfile):
 
 
 def _make_text_batcher(config, featurizers, source,
-                       indexed_bow: bool = False) -> TextBatcher:
+                       indexed_bow: bool = False,
+                       indexed_w2v: bool = False) -> TextBatcher:
     active = {
         k: v for k, v in featurizers.items() if v is not None or k in ("clip", "bert")
     }
     return TextBatcher(source, active, max_txtlength=config.max_txtlength,
-                       indexed_bow=indexed_bow)
+                       indexed_bow=indexed_bow, indexed_w2v=indexed_w2v)
 
 
 def prepare(opt: Options) -> Prepared:
@@ -531,9 +535,28 @@ def prepare(opt: Options) -> Prepared:
                 "captions reuse the true caption's precomputed vector "
                 "(live tower pending)"
             )
+    # device-side text featurization: bow ships sparse (FusionTower
+    # scatter); w2v ships row ids into a device-resident table the train
+    # step mean-pools (the last fat per-step text transfer). The table's
+    # restricted vocab must cover every caption the TRAIN feed can emit:
+    # train + train2 + task3 false captions + negation-augmented variants.
+    dtf = bool(getattr(opt, "device_text_featurize", 0))
+    w2v_table = None
+    dtf_w2v = False
+    if dtf and featurizers.get("w2v") is not None:
+        caps = list(train_tsource.captions.values())
+        if task3_source is not None:
+            caps += [c for lst in task3_source.captions_multi.values() for c in lst]
+            caps += [c for lst in task3_source.negation_augmented().values()
+                     for c in lst]
+        if getattr(opt, "trainCollection2", "None") != "None":
+            _, t2cap = _collection_paths(rootpath, opt.trainCollection2)
+            caps += list(TextSource(t2cap).captions.values())
+        w2v_table = featurizers["w2v"].build_row_index(caps)
+        dtf_w2v = True
     train_feed = PairFeed(
         _make_text_batcher(config, featurizers, train_tsource,
-                           indexed_bow=bool(getattr(opt, 'device_text_featurize', 0))),
+                           indexed_bow=dtf, indexed_w2v=dtf_w2v),
         VisBatcher(train_vsource, with_frames=config.frame_feat_input),
         batch_size=opt.batch_size,
         seed=opt.random_seed,
@@ -570,7 +593,7 @@ def prepare(opt: Options) -> Prepared:
         )
         train2_feed = PairFeed(
             _make_text_batcher(config, featurizers, t2_tsource,
-                               indexed_bow=bool(getattr(opt, 'device_text_featurize', 0))),
+                               indexed_bow=dtf, indexed_w2v=dtf_w2v),
             VisBatcher(t2_vsource, with_frames=config.frame_feat_input),
             batch_size=opt.batch_size,
             seed=opt.random_seed + 1,
@@ -592,4 +615,5 @@ def prepare(opt: Options) -> Prepared:
         gru_vocab=gru_vocab,
         we=we,
         train2_feed=train2_feed,
+        w2v_table=w2v_table,
     )

@@ -275,6 +275,35 @@ def make_cached_train_step(train_step, cache_arrays):
     return step
 
 
+def make_w2v_pooled_train_step(train_step, w2v_table):
+    """Train step with device-side w2v mean pooling: text batches carry
+    (B, T) int32 row ids + (B,) counts into a device-resident word-vector
+    table (zero sink row for padding) instead of dense (B, D) means —
+    the last fat per-step text transfer moves once, not every step. Row
+    order matches the host gather's, so the pooled means track the host
+    path to float rounding."""
+    transition = train_step._transition
+    table = w2v_table if isinstance(w2v_table, jnp.ndarray) else jnp.asarray(w2v_table)
+
+    def pool(batch):
+        if batch is None or "w2v_ids" not in batch:
+            return batch
+        batch = dict(batch)
+        ids = batch.pop("w2v_ids")
+        n = batch.pop("w2v_len")
+        batch["w2v"] = table[ids].sum(axis=1) / n[:, None].astype(table.dtype)
+        return batch
+
+    def pooled_transition(state, txt_batch, vis, rng,
+                          false_txt_batch=None, task3_mask=None, epoch=0):
+        return transition(state, pool(txt_batch), vis, rng,
+                          pool(false_txt_batch), task3_mask, epoch)
+
+    step = jax.jit(pooled_transition)
+    step._transition = pooled_transition
+    return step
+
+
 def make_multi_train_step(train_step, with_task3: bool = False):
     """K training steps in ONE device dispatch via ``lax.scan``.
 
@@ -331,6 +360,14 @@ def init_state(model, spec, prepared: Prepared, tx, seed: int = 2) -> TrainState
     sample = next(iter(prepared.train_feed.epoch(0)))
     txt = {k: jnp.asarray(v[:2]) for k, v in sample["txt"].items()}
     vis = {k: jnp.asarray(v[:2]) for k, v in sample["vis"].items()}
+    if "w2v_ids" in txt:
+        # indexed w2v is pooled in the train-step wrapper, not the tower —
+        # init sees the dense form
+        ids = np.asarray(txt.pop("w2v_ids"))
+        n = np.asarray(txt.pop("w2v_len"))
+        txt["w2v"] = jnp.asarray(
+            prepared.w2v_table[ids].sum(axis=1) / n[:, None]
+        )
     variables = model.init(
         {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
         txt, vis,
@@ -404,15 +441,15 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
     With ``multi_step`` (see make_multi_train_step) and
     ``steps_per_dispatch`` K > 1, same-shaped batches are stacked host-side
     and K steps run in one device dispatch; ragged tail batches fall back
-    to single steps. Single-chip only (sharded batches keep per-step
-    dispatch, whose cost is amortized across the mesh)."""
+    to single steps. Under a mesh, stacked (K, B, ...) batches shard over
+    dp on axis 1 (the per-step batch axis)."""
     meter = AverageMeter()
     progress = Progress(feed.steps_per_epoch() * feed.batch_size, f"epoch {epoch}")
     rng = jax.random.key(epoch)
     pending = []  # device loss values (scalars or (K,) stacks) awaiting readback
     pending_n = 0
     step0 = int(state.step)
-    use_scan = multi_step is not None and steps_per_dispatch > 1 and mesh is None
+    use_scan = multi_step is not None and steps_per_dispatch > 1
     buf = []
 
     def to_dev(arrs, bf16):
@@ -458,20 +495,23 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
                     [vis_cache.indices(b["vis_ids"]) for b in buf]))
             else:
                 vis_s = _stack_batches(buf, "vis", cast_vis_bf16)
+            txt_s = _stack_batches(buf, "txt", cast_txt_bf16)
+            if mesh is not None:
+                # (K, B, ...) stacks: dp shards the per-step batch axis
+                txt_s = shard_batch(txt_s, mesh, axis_index=1)
+                vis_s = shard_batch(vis_s, mesh, axis_index=1)
             if "false_txt" in buf[0]:
+                false_s = _stack_batches(buf, "false_txt", cast_txt_bf16)
+                if mesh is not None:
+                    false_s = shard_batch(false_s, mesh, axis_index=1)
                 state, losses = multi_step(
-                    state, _stack_batches(buf, "txt", cast_txt_bf16),
-                    vis_s,
-                    rngs, _stack_batches(buf, "false_txt", cast_txt_bf16),
+                    state, txt_s, vis_s,
+                    rngs, false_s,
                     jnp.asarray(np.stack([b["task3_mask"] for b in buf])),
                     epoch,
                 )
             else:
-                state, losses = multi_step(
-                    state, _stack_batches(buf, "txt", cast_txt_bf16),
-                    vis_s,
-                    rngs,
-                )
+                state, losses = multi_step(state, txt_s, vis_s, rngs)
             pending.append(losses)
             pending_n += len(buf)
         else:
@@ -547,17 +587,24 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     # bytes moved per step (the bottleneck on bandwidth-starved links)
     cast_txt = spec.txt.compute_dtype == "bfloat16"
     cast_vis = spec.vis.compute_dtype == "bfloat16"
+    if prepared.w2v_table is not None:
+        table = prepared.w2v_table
+        if mesh is not None:
+            from ..parallel import replicate
+
+            table = replicate(table, mesh)
+        train_step = make_w2v_pooled_train_step(train_step, table)
     vis_cache = None
-    if getattr(opt, "device_feature_cache", 0) and mesh is None:
+    if getattr(opt, "device_feature_cache", 0):
         from .feature_cache import DeviceVisCache
 
         vis_cache = DeviceVisCache(
-            prepared.train_feed.vis_batcher, bf16=cast_vis
+            prepared.train_feed.vis_batcher, bf16=cast_vis, mesh=mesh
         )
-        train_step = make_cached_train_step(raw_step, vis_cache.arrays)
+        train_step = make_cached_train_step(train_step, vis_cache.arrays)
     multi_step = None
     spd = getattr(opt, "steps_per_dispatch", 1)
-    if spd > 1 and mesh is None:
+    if spd > 1:
         multi_step = make_multi_train_step(
             train_step, with_task3=(spec.task3 is not None)
         )

@@ -56,14 +56,16 @@ def data_parallel_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mes
     return Mesh(np.asarray(devices), (axis,))
 
 
-def shard_batch(batch: Dict, mesh: Mesh, axis: str = "dp") -> Dict:
-    """Shard every array along its leading (batch) axis.
+def shard_batch(batch: Dict, mesh: Mesh, axis: str = "dp",
+                axis_index: int = 0) -> Dict:
+    """Shard every array along its batch axis (``axis_index``; default the
+    leading axis — multi-step scan stacks shard axis 1, the per-step batch).
 
     Single-host: a plain device_put. Multi-host: each process feeds its
     LOCAL slice of the global batch (the feed is per-process) and
     ``jax.make_array_from_process_local_data`` assembles the global
     array — no cross-host data movement."""
-    sharding = NamedSharding(mesh, P(axis))
+    sharding = NamedSharding(mesh, P(*([None] * axis_index), axis))
     if jax.process_count() > 1:
         def put(x):
             return jax.make_array_from_process_local_data(sharding, np.asarray(x))

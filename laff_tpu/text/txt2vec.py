@@ -181,6 +181,52 @@ class W2Vec(Txt2Vec):
             return vectors
         return np.zeros((max(len(words), 1), self.ndims), dtype=np.float32)
 
+    # -- device-side mean-pooling support ----------------------------------
+
+    def build_row_index(self, captions: Sequence[str]) -> np.ndarray:
+        """Restrict the w2v vocabulary to tokens appearing in ``captions``
+        and build the device gather table: (K+1, D) float32 with a zero
+        sink row at index K. After this, ``encode_batch_indexed`` ships
+        (B, T) int32 row ids instead of (B, D) mean-pooled floats and the
+        mean-pool runs on device (training's last fat per-step transfer)."""
+        if self.norm > 0:
+            raise ValueError("indexed w2v supports norm=0 only")
+        words: List[str] = []
+        seen = set()
+        for q in captions:
+            for w in self._preprocess(q):
+                if w not in seen and w in self.w2v.name2index:
+                    seen.add(w)
+                    words.append(w)
+        _, table = self.w2v.gather(words)
+        self._row_of: Dict[str, int] = {w: i for i, w in enumerate(words)}
+        self.table = np.concatenate(
+            [table, np.zeros((1, self.ndims), np.float32)]
+        )
+        logger.info("device w2v table: %d words x %d dims (%.1f MB)",
+                    len(words), self.ndims, self.table.nbytes / 1e6)
+        return self.table
+
+    def encode_batch_indexed(self, queries: Sequence[str], max_tokens: int = 77):
+        """(ids (B, T) int32, n (B,) int32) for the device-side mean pool
+        ``table[ids].sum(1) / n``. Row order matches ``gather``'s request
+        order, so the device sum reproduces the host mean's operand order;
+        padding hits the zero sink row. Requires ``build_row_index``."""
+        sink = len(self._row_of)
+        ids = np.full((len(queries), max_tokens), sink, np.int32)
+        n = np.ones((len(queries),), np.int32)
+        for i, q in enumerate(queries):
+            rows = [
+                self._row_of[w]
+                for w in self._preprocess(q)
+                if w in self._row_of
+            ]
+            t = min(len(rows), max_tokens)
+            if t:
+                ids[i, :t] = rows[:t]
+                n[i] = t
+        return ids, n
+
 
 class IndexVec(Txt2Vec):
     """Caption -> <start> w1 ... wn <end> index sequence for the GRU."""

@@ -350,6 +350,14 @@ def test_device_text_featurize_matches_dense(tmp_path):
     batch = next(iter(prepared.train_feed.epoch(0)))
     assert "bow_ids" in batch["txt"] and "bow" not in batch["txt"]
     txt_sparse = {k: jnp.asarray(v) for k, v in batch["txt"].items()}
+    if "w2v_ids" in txt_sparse:
+        # indexed w2v pools in the train-step wrapper, not the tower —
+        # densify for this direct tower application
+        ids = np.asarray(txt_sparse.pop("w2v_ids"))
+        n = np.asarray(txt_sparse.pop("w2v_len"))
+        txt_sparse["w2v"] = jnp.asarray(
+            prepared.w2v_table[ids].sum(axis=1) / n[:, None]
+        )
     variables = model.init(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         txt_sparse, {k: jnp.asarray(v) for k, v in batch["vis"].items()},
@@ -490,3 +498,58 @@ def test_train_with_tied_transforms(tmp_path):
     assert "bn1" in params["txt_net"]["transform_w2v"]
     assert "fc1" not in params["vis_net"]["transform_w2v_like8"]
     assert "bn1" in params["vis_net"]["transform_w2v_like8"]
+
+
+def test_device_w2v_pool_matches_dense(tmp_path):
+    """Device-side w2v mean pooling (row ids + HBM table) tracks the dense
+    host featurizer, encoder-level and through the real train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from laff_tpu.engine import Options, prepare
+    from laff_tpu.engine.trainer import (
+        init_state, make_optimizer, make_train_step, make_w2v_pooled_train_step,
+    )
+    from laff_tpu.models import LAFFModel
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=12, caps_per_video=1, seed=0)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=5)
+    build_w2v(root)
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=root, val_set="no", config_name="tiny",
+                  batch_size=8, model_prefix="w2vdev",
+                  device_text_featurize=1)
+    prepared = prepare(opt)
+    assert prepared.w2v_table is not None
+
+    w2v = prepared.featurizers["w2v"]
+    batch = next(iter(prepared.train_feed.epoch(0)))
+    assert "w2v_ids" in batch["txt"] and "w2v" not in batch["txt"]
+    caps = [prepared.train_feed.text_batcher.source.caption(c)
+            for c in batch["cap_ids"]]
+
+    # encoder level: table[ids].sum / n == dense mean
+    ids, n = batch["txt"]["w2v_ids"], batch["txt"]["w2v_len"]
+    pooled = prepared.w2v_table[ids].sum(axis=1) / n[:, None]
+    dense = w2v.encode_batch(caps)
+    np.testing.assert_allclose(pooled, dense, rtol=1e-6, atol=1e-7)
+
+    # train-step level: pooled-step loss == dense-step loss
+    model = LAFFModel(prepared.spec)
+    tx = make_optimizer(prepared.config)
+    state = init_state(model, prepared.spec, prepared, tx, seed=0)
+    raw = make_train_step(model, tx, prepared.spec)
+    pooled_step = make_w2v_pooled_train_step(raw, prepared.w2v_table)
+
+    txt_sparse = {k: jnp.asarray(v) for k, v in batch["txt"].items()}
+    vis = {k: jnp.asarray(v) for k, v in batch["vis"].items()}
+    rng = jax.random.key(7)
+    _, loss_pooled = pooled_step(state, txt_sparse, vis, rng)
+
+    txt_dense = {k: v for k, v in txt_sparse.items()
+                 if k not in ("w2v_ids", "w2v_len")}
+    txt_dense["w2v"] = jnp.asarray(dense)
+    _, loss_dense = raw(state, txt_dense, vis, rng)
+    np.testing.assert_allclose(np.asarray(loss_pooled), np.asarray(loss_dense),
+                               rtol=1e-5)

@@ -127,3 +127,28 @@ def test_initialize_multihost_noop_single_process():
 
     assert initialize_multihost() == 1
     assert jax.process_count() == 1
+
+
+def test_trainer_mesh_with_transfer_optimizations(tmp_path, mesh):
+    """The transfer optimizations compose with a data-parallel mesh:
+    device feature cache (replicated HBM cache + dp-sharded row indices),
+    multi-step scan (stacks sharded on the per-step batch axis), and
+    device-side text featurization — training reaches the same quality
+    band as the plain mesh run."""
+    from helpers import build_collection, build_w2v
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.trainer import main
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=32, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=16, caps_per_video=1, seed=5)
+    build_w2v(root)
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=root,
+        val_set="no", config_name="tiny", num_epochs=3, batch_size=16,
+        model_prefix="mesh_opt_run", metric="mir",
+        device_feature_cache=1, device_text_featurize=1,
+        steps_per_dispatch=2,
+    )
+    result = main(opt, mesh=mesh)
+    assert result["best_perf"] > 0.2, result
