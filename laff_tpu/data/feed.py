@@ -98,6 +98,10 @@ class TextBatcher:
                 batch["netvlad_tokens"] = tokens
                 batch["netvlad_mask"] = mask
             elif name in self._PRECOMPUTED_KEYS:
+                if t2v is not None and getattr(t2v, "emit_tokens", False):
+                    # in-graph tower: ship token arrays, not features
+                    batch.update(t2v.encode_tokens(captions))
+                    continue
                 if t2v is not None and hasattr(t2v, "encode_batch"):
                     # live tower (e.g. StrongCLIP fine-tuned text encoder)
                     batch[name] = t2v.encode_batch(captions)

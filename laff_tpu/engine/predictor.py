@@ -374,7 +374,18 @@ def rebuild_featurizers(ckpt: Dict, rootpath: str):
         if "no" not in te["CLIP_encoding"]["name"]:
             featurizers["clip"] = None
         if "no" not in te["bert_encoding"]["name"]:
-            featurizers["bert"] = None
+            if not getattr(config, "bert_frozen", True):
+                # in-graph BERT: the feed ships token ids at predict time too
+                from ..models.bert import BertTokensFeaturizer
+
+                featurizers["bert"] = BertTokensFeaturizer(
+                    te["bert_encoding"]["name"],
+                    do_lower_case=getattr(config, "bert_do_lower_case", True),
+                    max_length=getattr(config, "bert_max_length", 64),
+                    vocab_file=getattr(config, "bert_vocab_file", ""),
+                )
+            else:
+                featurizers["bert"] = None
         return featurizers
 
     opt_dict = ckpt.get("opt", {})

@@ -243,6 +243,18 @@ def build_spec(
             ))
 
     compute_dtype = "bfloat16" if getattr(config, "float16", False) else "float32"
+    bert_spec = None
+    if "bert" in txt_dims and not getattr(config, "bert_frozen", True):
+        from ..models.spec import BertSpec
+
+        kwargs = dict(getattr(config, "bert_config_kwargs", {}) or {})
+        bert_spec = BertSpec(
+            name_or_path=config.text_encoding["bert_encoding"]["name"],
+            hidden_size=config.bert_size,
+            max_length=getattr(config, "bert_max_length", 64),
+            do_lower_case=config.bert_do_lower_case,
+            config_kwargs=tuple(sorted(kwargs.items())),
+        )
     txt = TowerSpec(
         features=tuple(txt_dims.items()),
         common_dim=txt_common,
@@ -255,6 +267,7 @@ def build_spec(
         batch_norm=config.batch_norm,
         activation=config.activation,
         gru=gru_spec,
+        bert=bert_spec,
         compute_dtype=compute_dtype,
     )
 
@@ -405,7 +418,27 @@ def build_featurizers(config, rootpath, vocab_collection, train_capfile):
 
     if "no" not in te["bert_encoding"]["name"]:
         txt_dims["bert"] = config.bert_size
-        featurizers["bert"] = None  # precomputed only (live tower: roadmap)
+        bert_name = te["bert_encoding"]["name"]
+        if not getattr(config, "bert_frozen", True):
+            # in-graph fine-tuning tower: the feed ships token ids
+            from ..models.bert import BertTokensFeaturizer
+
+            featurizers["bert"] = BertTokensFeaturizer(
+                bert_name,
+                do_lower_case=config.bert_do_lower_case,
+                max_length=getattr(config, "bert_max_length", 64),
+                vocab_file=getattr(config, "bert_vocab_file", ""),
+            )
+        elif os.path.isdir(os.path.expanduser(bert_name)):
+            # frozen + local weights, no precomputed dump -> live featurizer
+            from ..models.bert import LiveBertTextFeaturizer
+
+            featurizers["bert"] = LiveBertTextFeaturizer(
+                os.path.expanduser(bert_name),
+                do_lower_case=config.bert_do_lower_case,
+            )
+        else:
+            featurizers["bert"] = None  # precomputed via TextSource
 
     bow_encoding = te["bow_encoding"]["name"]
     if "no" not in bow_encoding:

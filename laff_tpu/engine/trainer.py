@@ -82,7 +82,19 @@ class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
 
 
-def make_optimizer(config):
+def _backbone_mask(params):
+    """True for params of in-graph backbones (the live BERT tower), which
+    the reference trains at lr/20 (model/model.py:2013-2020)."""
+    def mark(path, _):
+        keys = {getattr(p, "key", "") for p in path}
+        return "bert" in keys and "txt_net" in keys
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def make_optimizer(config, spec=None):
+    scale_backbone = spec is not None and getattr(spec.txt, "bert", None) is not None
+
     def build(learning_rate):
         chain = []
         if config.grad_clip and config.grad_clip > 0:
@@ -93,6 +105,10 @@ def make_optimizer(config):
             chain.append(optax.rmsprop(learning_rate))
         else:
             raise ValueError(f"optimizer {config.optimizer}")
+        if scale_backbone:
+            # post-optimizer update scaling == per-group lr/20 (Adam's
+            # updates are lr-linear), tracking the global LR controller
+            chain.append(optax.masked(optax.scale(1.0 / 20.0), _backbone_mask))
         return optax.chain(*chain)
 
     return optax.inject_hyperparams(build)(learning_rate=config.lr)
@@ -378,6 +394,13 @@ def init_state(model, spec, prepared: Prepared, tx, seed: int = 2) -> TrainState
         params = flax.core.unfreeze(params)
         params["txt_net"]["gru"]["we"] = jnp.asarray(prepared.we)
         params = flax.core.freeze(params) if isinstance(variables["params"], flax.core.FrozenDict) else params
+    if getattr(spec.txt, "bert", None) is not None and "bert" in params.get("txt_net", {}):
+        from ..models.bert import import_bert_params
+
+        pre = import_bert_params(spec.txt.bert.name_or_path)
+        if pre is not None:
+            params = flax.core.unfreeze(params)
+            params["txt_net"]["bert"] = jax.tree_util.tree_map(jnp.asarray, pre)
     return TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
@@ -565,7 +588,7 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     model_path = prepared.model_path
 
     model = LAFFModel(spec)
-    tx = make_optimizer(config)
+    tx = make_optimizer(config, spec)
     state = init_state(model, spec, prepared, tx, seed=opt.random_seed)
 
     if opt.pretrained_file_path != "None":

@@ -1,15 +1,19 @@
 from .metrics import (
+    blockwise_flat_ranks,
     eval_label_matrix,
-    flat_sim_ranks,
     eval_qry2retro,
+    flat_sim_ranks,
     label_matrix_from_scores,
     ranks_from_scores_device,
+    topk_two_stage,
 )
 
 __all__ = [
+    "blockwise_flat_ranks",
     "eval_label_matrix",
-    "flat_sim_ranks",
     "eval_qry2retro",
+    "flat_sim_ranks",
     "label_matrix_from_scores",
     "ranks_from_scores_device",
+    "topk_two_stage",
 ]

@@ -180,6 +180,70 @@ def flat_sim_ranks(
     return 1 + jnp.sum(beats, axis=1, dtype=jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("block_t", "prenormalized"))
+def blockwise_flat_ranks(
+    txt: jnp.ndarray,
+    vis: jnp.ndarray,
+    gt_cols: jnp.ndarray,
+    block_t: int = 256,
+    prenormalized: bool = False,
+) -> jnp.ndarray:
+    """``flat_sim_ranks`` for galleries too large to materialize the full
+    (T, V) score block: lax.map over text blocks, each block's
+    (block_t, V) scores live only transiently (reference ``predict_batch``
+    regime, model/model.py:1081-1128). T must divide by block_t (pad the
+    text side; extra rows rank against the same gallery and are sliced
+    off by the caller)."""
+    from ..ops.pallas_kernels import flatten_heads
+
+    if prenormalized:
+        tn = txt.reshape(txt.shape[0], -1)
+        vn = vis.reshape(vis.shape[0], -1)
+    else:
+        tn = flatten_heads(txt)
+        vn = flatten_heads(vis)
+    tn = tn.astype(jnp.bfloat16)
+    vn = vn.astype(jnp.bfloat16)
+    gt_cols = gt_cols.astype(jnp.int32)
+
+    def body(i):
+        tb = jax.lax.dynamic_slice_in_dim(tn, i * block_t, block_t)
+        gtb = jax.lax.dynamic_slice_in_dim(gt_cols, i * block_t, block_t)
+        # contract on dim 1 of BOTH operands (== tb @ vn.T) — an explicit
+        # .T on a multi-GB gallery can materialize a full transposed copy
+        scores = jax.lax.dot_general(
+            tb, vn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gt_scores = jnp.take_along_axis(scores, gtb[:, None], axis=1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        beats = jnp.logical_or(
+            scores > gt_scores,
+            jnp.logical_and(scores == gt_scores, col_ids > gtb[:, None]),
+        )
+        return 1 + jnp.sum(beats, axis=1, dtype=jnp.int32)
+
+    nt = tn.shape[0] // block_t
+    return jax.lax.map(body, jnp.arange(nt)).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_v"))
+def topk_two_stage(scores: jnp.ndarray, k: int, block_v: int = 16384):
+    """Hierarchical top-k over a huge gallery axis: per-block top-k, then a
+    final merge — avoids one monolithic sort across the full width (the
+    AVS top-1000 dump over ~1M shots). Returns (values, global indices),
+    descending. V must divide by block_v and each block must hold >= k."""
+    t, v = scores.shape
+    nb = v // block_v
+    s = scores.reshape(t, nb, block_v)
+    vals, idx = jax.lax.top_k(s, k)  # (t, nb, k)
+    base = (jnp.arange(nb, dtype=jnp.int32) * block_v)[None, :, None]
+    flat_vals = vals.reshape(t, nb * k)
+    flat_idx = (idx.astype(jnp.int32) + base).reshape(t, nb * k)
+    out_vals, sel = jax.lax.top_k(flat_vals, k)
+    return out_vals, jnp.take_along_axis(flat_idx, sel, axis=1)
+
+
 def metrics_from_ranks(ranks: np.ndarray):
     """(r1, r5, r10, medr, meanr, mir, mAP) for the single-positive case
     (mAP == MIR when each query has exactly one relevant item)."""

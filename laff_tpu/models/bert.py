@@ -18,6 +18,60 @@ from ..utils import get_logger
 logger = get_logger(__name__)
 
 
+class BertTokensFeaturizer:
+    """captions -> token-id arrays for the IN-GRAPH BERT tower
+    (``bert_frozen=False``): the feed ships ids/mask/type and the
+    FusionTower runs the transformer inside the jitted step, so BERT
+    fine-tunes with the rest of the model."""
+
+    emit_tokens = True
+
+    def __init__(self, name_or_path: str = "bert-base-uncased",
+                 do_lower_case: bool = True, max_length: int = 64,
+                 vocab_file: str = "") -> None:
+        if vocab_file:
+            from transformers import BertTokenizer
+
+            self.tokenizer = BertTokenizer(
+                vocab_file=vocab_file, do_lower_case=do_lower_case
+            )
+        else:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                name_or_path, do_lower_case=do_lower_case
+            )
+        self.max_length = max_length
+
+    def encode_tokens(self, captions):
+        enc = self.tokenizer(
+            list(captions), return_tensors="np", padding="max_length",
+            truncation=True, max_length=self.max_length,
+        )
+        out = {
+            "bert_ids": enc["input_ids"].astype(np.int32),
+            "bert_mask": enc["attention_mask"].astype(np.int32),
+        }
+        if "token_type_ids" in enc:
+            out["bert_type"] = enc["token_type_ids"].astype(np.int32)
+        return out
+
+
+def import_bert_params(name_or_path: str):
+    """Pretrained flax BERT params for the in-graph tower, when
+    ``name_or_path`` is a local checkout (no downloads in airgapped
+    deployments). Returns None when unavailable."""
+    import os
+
+    if not os.path.isdir(os.path.expanduser(name_or_path)):
+        return None
+    from transformers import FlaxBertModel
+
+    model = FlaxBertModel.from_pretrained(os.path.expanduser(name_or_path))
+    logger.info("imported pretrained BERT params from %s", name_or_path)
+    return model.params
+
+
 class LiveBertTextFeaturizer:
     """Batched caption -> pooler-output features via flax BERT."""
 

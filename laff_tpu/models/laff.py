@@ -204,6 +204,20 @@ class FusionTower(nn.Module):
             return GruEncoder(self.spec.gru, name="gru")(
                 inputs["rnn_ids"], inputs["rnn_len"]
             )
+        if name == "bert" and self.spec.bert is not None and "bert_ids" in inputs:
+            # live in-graph BERT (reference BertTxtEncoder bert_frozen=False,
+            # model/model.py:437-466); pooler output, like the reference
+            from transformers import BertConfig
+            from transformers.models.bert.modeling_flax_bert import FlaxBertModule
+
+            cfg = BertConfig(**dict(self.spec.bert.config_kwargs))
+            module = FlaxBertModule(config=cfg, name="bert")
+            out = module(
+                inputs["bert_ids"], inputs["bert_mask"],
+                token_type_ids=inputs.get("bert_type"),
+                deterministic=not train,
+            )
+            return out.pooler_output
         if name == "netvlad":
             from .attention import NetVLAD
 

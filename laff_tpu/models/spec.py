@@ -43,6 +43,24 @@ class TransformSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class BertSpec:
+    """Live in-graph BERT text tower (reference BertTxtEncoder with
+    ``bert_frozen=False``, model/model.py:437-466): the transformer runs
+    inside the jitted graph and fine-tunes with the rest of the model
+    (backbone updates scaled 1/20, reference model.py:2010-2024).
+
+    ``config_kwargs`` override transformers' BertConfig; empty means the
+    bert-base defaults. ``name_or_path`` is used to import pretrained
+    params when it points at a local checkout."""
+
+    name_or_path: str = "bert-base-uncased"
+    hidden_size: int = 768
+    max_length: int = 64
+    do_lower_case: bool = True
+    config_kwargs: Tuple[Tuple[str, int], ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
 class GruSpec:
     vocab_size: int = 0
     we_dim: int = 500
@@ -75,6 +93,7 @@ class TowerSpec:
     batch_norm: bool = False
     activation: str = "tanh"
     gru: Optional[GruSpec] = None  # text tower only, when 'rnn' in features
+    bert: Optional[BertSpec] = None  # live in-graph BERT ('bert' feature)
     # FrameLAFF (visual tower only): frame-feature name -> dim, pooled by a
     # masked frame-axis attention before feature-level fusion
     frame_features: Tuple[Tuple[str, int], ...] = ()

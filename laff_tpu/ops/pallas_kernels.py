@@ -152,7 +152,8 @@ _WIDE_VMEM_BUDGET = 64 * 1024 * 1024
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "block_v", "prenormalized")
+    jax.jit,
+    static_argnames=("block_t", "block_v", "prenormalized", "vmem_budget"),
 )
 def fused_sim_rank(
     txt: jnp.ndarray,
@@ -161,6 +162,7 @@ def fused_sim_rank(
     block_t: int = 256,
     block_v: int = 1024,
     prenormalized: bool = False,
+    vmem_budget: int = 32 * 1024 * 1024,
 ) -> jnp.ndarray:
     """1-based ranks of gt_cols for multi-head (or flat) embeddings.
 
@@ -250,9 +252,10 @@ def fused_sim_rank(
             # text tiles are independent; the gallery axis carries the
             # accumulator and must run sequentially
             dimension_semantics=("parallel", "arbitrary"),
-            # double-buffered (block_t + block_v) x HD bf16 blocks sit just
-            # above the 16 MB default scoped-vmem budget
-            vmem_limit_bytes=32 * 1024 * 1024,
+            # double-buffered (block_t + block_v) x HD bf16 blocks sit
+            # above the 16 MB default scoped-vmem budget; larger tilings
+            # (big-gallery sweeps) raise the budget further
+            vmem_limit_bytes=vmem_budget,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * vp * hd,
