@@ -76,3 +76,32 @@ def test_avs_task_end_to_end(sweep_world, monkeypatch):
     assert "tv99" in results[key]["infAP"]
     assert 0.0 <= results[key]["infAP"]["tv99"] <= 1.0
     assert os.path.exists(score_file + ".xml")
+
+
+def test_reproduce_mvtest3k_dry_run():
+    """The R@1-parity reproduction script's plumbing stays green: synthetic
+    mirror world -> headline-shaped train -> predict -> metric diff harness."""
+    import importlib.util
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "shell", "reproduce_mvtest3k.py")
+    out = subprocess.run(
+        [sys.executable, script, "--dry_run"],
+        capture_output=True, text=True, timeout=500,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    blob = json.loads(line)
+    assert blob["plumbing"] == "ok"
+
+    # missing-data path exits 2 with a listing
+    out2 = subprocess.run(
+        [sys.executable, script, "--rootpath", "/tmp/definitely_missing_xyz"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out2.returncode == 2
+    assert "missing data" in out2.stdout
