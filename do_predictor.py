@@ -21,8 +21,10 @@ def parse_args(argv=None):
     parser.add_argument("--predict_result_file", type=str,
                         default="result_log/result_test.txt")
     parser.add_argument("--batch_size", default=1024, type=int)
-    parser.add_argument("--num_workers", default=0, type=int)
-    parser.add_argument("--device", default="0", type=str)
+    parser.add_argument("--num_workers", default=0, type=int,
+                        help="embedder prefetch depth (batches in flight)")
+    parser.add_argument("--device", default="0", type=str,
+                        help="accepted for CLI parity; device selection is JAX-managed")
     parser.add_argument("--task3_caption", type=str, default="no_task3_caption",
                         help="any other value enables boolean negation "
                              "scoring of the queries (predictneg)")

@@ -24,7 +24,8 @@ def parse_args(argv=None):
                         choices=["r1", "r5", "r10", "medr", "meanr", "mir"])
     parser.add_argument("--num_epochs", default=80, type=int)
     parser.add_argument("--batch_size", default=128, type=int)
-    parser.add_argument("--workers", default=2, type=int)
+    parser.add_argument("--workers", default=2, type=int,
+                        help="feed prefetch depth (batches kept in flight)")
     parser.add_argument("--model_prefix", default="runs_0", type=str)
     parser.add_argument("--config_name", type=str, default="laff")
     parser.add_argument("--parm_adjust_config", type=str, default="None")

@@ -58,11 +58,15 @@ def _appliers(model):
 
 
 class Embedder:
-    """Jitted tower application with static batch shapes."""
+    """Jitted tower application with static batch shapes.
 
-    def __init__(self, model, variables):
+    ``prefetch_depth`` (reference num_workers analog) bounds how many
+    batches the background featurizer keeps in flight."""
+
+    def __init__(self, model, variables, prefetch_depth: int = 2):
         self.model = model
         self.variables = variables
+        self.prefetch_depth = max(1, prefetch_depth)
         spec = getattr(model, "spec", None)
         self._txt_bf16 = bool(spec) and spec.txt.compute_dtype == "bfloat16"
         self._vis_bf16 = bool(spec) and spec.vis.compute_dtype == "bfloat16"
@@ -72,7 +76,7 @@ class Embedder:
         from ..data import host_cast_bf16
 
         chunks, ids = [], []
-        for item in Prefetcher(iter(feed), depth=2):
+        for item in Prefetcher(iter(feed), depth=self.prefetch_depth):
             data = host_cast_bf16(item["data"]) if bf16 else item["data"]
             emb = fn(self.variables, {k: jnp.asarray(v) for k, v in data.items()})
             chunks.append(emb[: item["valid"]] if item["valid"] < emb.shape[0] else emb)

@@ -403,7 +403,8 @@ def main(opt: PredictOptions) -> Dict:
     ckpt = load_checkpoint(opt.model_path)
     config = ckpt["config"]
     model, variables, spec = rebuild_model(ckpt)
-    embedder = Embedder(model, variables)
+    embedder = Embedder(model, variables,
+                        prefetch_depth=max(2, opt.num_workers))
     featurizers = rebuild_featurizers(ckpt, opt.rootpath)
 
     # StrongCLIP: swap in a fine-tuned live text tower when the config

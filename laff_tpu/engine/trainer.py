@@ -456,7 +456,7 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
                     log_every: int = 50, multi_step=None,
                     steps_per_dispatch: int = 1,
                     cast_txt_bf16: bool = False, cast_vis_bf16: bool = False,
-                    vis_cache=None):
+                    vis_cache=None, prefetch_depth: int = 3):
     """One epoch. Losses stay on device until logging points — reading a
     scalar every step costs a host round trip that can dominate wall
     clock (observed 40ms step -> 500ms with per-step float(loss)).
@@ -545,7 +545,7 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
         buf.clear()
         return state
 
-    for i, batch in enumerate(Prefetcher(feed.epoch(epoch), depth=3)):
+    for i, batch in enumerate(Prefetcher(feed.epoch(epoch), depth=prefetch_depth)):
         rng, step_rng = jax.random.split(rng)
         batch["_rng"] = step_rng
         if use_scan:
@@ -630,6 +630,20 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     if spd > 1:
         multi_step = make_multi_train_step(
             train_step, with_task3=(spec.task3 is not None)
+        )
+    # reference num_workers (DataLoader host parallelism) maps to the feed
+    # prefetch queue depth: how many batches the background featurizer
+    # thread keeps in flight ahead of the device
+    prefetch_depth = max(2, int(getattr(opt, "workers", 2)) + 1)
+    # mesh divisibility: the dp axis (and any configured multiple) must
+    # divide the batch so shard_batch produces equal per-device slices
+    multiple = int(getattr(config, "device_batch_multiple", 1) or 1)
+    if mesh is not None and "dp" in mesh.shape:
+        multiple = max(multiple, mesh.shape["dp"])
+    if opt.batch_size % multiple:
+        raise ValueError(
+            f"batch_size {opt.batch_size} must be a multiple of {multiple} "
+            f"(config.device_batch_multiple / mesh 'dp' axis size)"
         )
     lr_ctl = LRController(config.lr, config.lr_decay_rate)
     scalar_log = ScalarLogger(model_path)
@@ -721,7 +735,7 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             train_step, state, prepared.train_feed, epoch, mesh=mesh,
             logger_=scalar_log, multi_step=multi_step, steps_per_dispatch=spd,
             cast_txt_bf16=cast_txt, cast_vis_bf16=cast_vis,
-            vis_cache=vis_cache,
+            vis_cache=vis_cache, prefetch_depth=prefetch_depth,
         )
         if profile_dir and epoch == 1:
             jax.profiler.stop_trace()
