@@ -44,10 +44,53 @@ def main(argv=None):
                         help="e.g. tv16.avs.txt,tv17.avs.txt (enables AVS mode)")
     parser.add_argument("--avs_editions", default=None,
                         help="e.g. tv16,tv17")
+    parser.add_argument("--jobs", type=int, default=1,
+                        help="run up to N (seed x parm) combos as parallel "
+                             "subprocesses (reference retrieval_task.sh's "
+                             "PID queue over devices, sh:17-45). Use only "
+                             "when each job has its own accelerator or runs "
+                             "on CPU — jobs on one chip contend for HBM")
     args = parser.parse_args(argv)
 
     def split(s):
         return [x for x in s.replace(",", " ").split() if x]
+
+    seeds = split(args.random_seeds)
+    parms = split(args.parm_adjust_configs)
+    if args.jobs > 1 and len(seeds) * len(parms) > 1:
+        # job pool: re-exec one (seed, parm) combo per subprocess
+        import subprocess
+        from concurrent.futures import ThreadPoolExecutor
+
+        base = [sys.executable, os.path.abspath(__file__)]
+        for a in argv if argv is not None else sys.argv[1:]:
+            base.append(a)
+
+        def strip_opt(cmd, name):
+            out, skip = [], False
+            for x in cmd:
+                if skip:
+                    skip = False
+                    continue
+                if x == name:
+                    skip = True
+                    continue
+                out.append(x)
+            return out
+
+        base = strip_opt(strip_opt(strip_opt(
+            base, "--jobs"), "--random_seeds"), "--parm_adjust_configs")
+
+        def run_one(combo):
+            seed, parm = combo
+            cmd = base + ["--jobs", "1", "--random_seeds", seed,
+                          "--parm_adjust_configs", parm]
+            return subprocess.run(cmd).returncode
+
+        combos = [(s, p) for s in seeds for p in parms]
+        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+            rcs = list(pool.map(run_one, combos))
+        return max(rcs) if rcs else 0
 
     sweep = SweepOptions(
         trainCollection=args.trainCollection,

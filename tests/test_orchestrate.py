@@ -105,3 +105,37 @@ def test_reproduce_mvtest3k_dry_run():
     )
     assert out2.returncode == 2
     assert "missing data" in out2.stdout
+
+
+def test_retrieval_task_parallel_jobs(tmp_path):
+    """--jobs N fans (seed x parm) combos out to subprocesses (the
+    reference shell's PID-queue pool, retrieval_task.sh:17-45)."""
+    import subprocess
+    import sys
+
+    from helpers import build_collection, build_w2v
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=24, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=12, caps_per_video=1, seed=5)
+    build_collection(root, "toytest", n_videos=12, caps_per_video=1, seed=9)
+    build_w2v(root)
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "shell", "retrieval_task.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, script, "--rootpath", root,
+         "--trainCollection", "toytrain", "--valCollection", "toyval",
+         "--testCollection", "toytest", "--config", "tiny",
+         "--random_seeds", "2,3", "--num_epochs", "2", "--batch_size", "12",
+         "--jobs", "2",
+         "--result_file", os.path.join(root, "result_log", "par.txt")],
+        capture_output=True, text=True, timeout=500, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    # both seeds produced checkpoints
+    for seed in (2, 3):
+        d = os.path.join(root, "toytrain", "w2vvpp_train", "toyval", "tiny",
+                         f"runs_None_seed_{seed}")
+        assert os.path.exists(os.path.join(d, "model_best.pth.tar")), d
