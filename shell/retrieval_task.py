@@ -15,6 +15,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("LAFF_TPU_PLATFORM"):
+    # honored escape hatch: TPU plugins can override the JAX_PLATFORMS env
+    # var, so force the platform through jax.config before backend init
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["LAFF_TPU_PLATFORM"])
+
 from laff_tpu.engine.orchestrate import SweepOptions, avs_task, retrieval_task
 from laff_tpu.utils import ROOT_PATH
 

@@ -123,7 +123,9 @@ def test_retrieval_task_parallel_jobs(tmp_path):
     script = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "shell", "retrieval_task.py")
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    # JAX_PLATFORMS alone is overridden by TPU plugins; the driver honors
+    # this explicit escape hatch through jax.config
+    env["LAFF_TPU_PLATFORM"] = "cpu"
     out = subprocess.run(
         [sys.executable, script, "--rootpath", root,
          "--trainCollection", "toytrain", "--valCollection", "toyval",
