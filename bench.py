@@ -35,6 +35,28 @@ import numpy as np
 T, V, H, D = 59800, 2990, 8, 512
 
 
+PEAK_BF16 = 197e12  # TPU v5e bf16 peak FLOP/s
+
+
+def null_rtt(n=6):
+    """Fixed dispatch+readback cost of the device tunnel (subtracting it
+    isolates device time; a host-attached chip would not pay it)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    np.asarray(fn(x))
+    times = []
+    for _ in range(n):
+        t0 = _t.perf_counter()
+        np.asarray(fn(x))
+        times.append(_t.perf_counter() - t0)
+    return min(times)
+
+
 def bench_ours():
     import jax.numpy as jnp
 
@@ -82,7 +104,7 @@ def bench_ours():
             dt = min(times)
             qps = T / dt
             if best is None or qps > best[1]:
-                best = (name, qps)
+                best = (name, qps, dt)
         except Exception as e:  # pallas unavailable on this backend etc.
             print(f"# {name} failed: {e}")
     return best
@@ -112,13 +134,24 @@ def bench_reference_algorithm(sample_t=8192):
 
 
 def main():
-    name, qps_ours = bench_ours()
+    name, qps_ours, wall = bench_ours()
+    rtt = null_rtt()
+    # device-only numbers: tunnel-independent (floor at 2% of wall in case
+    # the workload ever drops below the RTT)
+    device_s = max(wall - rtt, 0.02 * wall)
+    flops = 2.0 * T * V * H * D  # one flat (T, HD) x (HD, V) contraction
     qps_ref = bench_reference_algorithm()
     print(json.dumps({
         "metric": "mvtest3k_sim_rank_queries_per_sec_per_chip",
         "value": round(qps_ours, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps_ours / qps_ref, 2),
+        "path": name,
+        "wall_s": round(wall, 4),
+        "tunnel_rtt_s": round(rtt, 4),
+        "device_s": round(device_s, 4),
+        "device_queries_per_sec": round(T / device_s, 1),
+        "mfu": round(flops / device_s / PEAK_BF16, 4),
     }))
 
 

@@ -263,17 +263,20 @@ def _approx_refine_topk(scores: jnp.ndarray, kk: int, k: int):
 
 
 def topk_wide(scores: jnp.ndarray, k: int, max_doublings: int = 6):
-    """Value-exact top-k over a very wide gallery axis.
+    """Value-exact top-k via TPU's native ``approx_max_k`` + verification.
 
-    ``lax.top_k`` with k~1000 over ~1M columns does not compile in
-    reasonable time on TPU (measured: >15 min; the hierarchical two-stage
-    variant hits the same wall inside its blocks). TPU's native
-    ``approx_max_k`` runs the same shape in ~0.2 s, so: sweep 2k
-    candidates approximately, exact-top-k the candidates, then VERIFY with
-    one counting pass (strictly-greater scores than the selected floor
-    must number < k). On the rare miss, double the candidate width and
-    retry — the result is guaranteed value-exact; index order among exact
-    score ties is arbitrary (as with any float re-ranking)."""
+    Sweep 2k candidates approximately, exact-top-k the candidates, then
+    VERIFY with one counting pass (strictly-greater scores than the
+    selected floor must number < k); on a miss, double the candidate
+    width and retry. Value-exact by construction; index order among exact
+    score ties is arbitrary.
+
+    NOTE (measured at 128 x 1M, k=1000 on v5e): plain ``lax.top_k`` is
+    ~3.5x FASTER (0.22 s vs 0.78 s) and order-deterministic — use it by
+    default. An apparent top_k "compile hang" at this shape was actually
+    a closed-over 8.6 GB gallery lowering as compile-time constants; pass
+    big arrays as jit arguments. This path remains for galleries where
+    the monolithic sort's HBM footprint becomes the binding constraint."""
     t, v = scores.shape
     k = min(k, v)
     m = 2

@@ -125,32 +125,34 @@ def run_config(args):
         k = args.k
         hbm_bytes = v * hd * 2 + 2 * t * v * 4
 
-        def _scores(tx):
-            # contract dim 1 of both (== tx @ vis.T): an explicit .T on the
-            # 8.6 GB gallery can materialize a transposed copy
+        # the gallery MUST be an argument, never a closure: a closed-over
+        # 8.6 GB array lowers as compile-time constants shipped through
+        # the remote-compile path (hangs it for good)
+        @jax.jit
+        def scores_fn(tx, vs):
+            # contract dim 1 of both (== tx @ vs.T): an explicit .T on the
+            # gallery can materialize a transposed copy
             return jax.lax.dot_general(
-                tx, vis, (((1,), (1,)), ((), ())),
+                tx, vs, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        scores_jit = jax.jit(_scores)
         if args.mode == "topk_direct":
-            # measured: does NOT compile in reasonable time at 1M x k=1000
             @jax.jit
-            def _topk(tx):
-                return jax.lax.top_k(_scores(tx), k)
+            def _topk(tx, vs):
+                return jax.lax.top_k(scores_fn(tx, vs), k)
         elif args.mode == "topk_twostage":
-            # measured: hits the same lax.top_k wall inside its blocks
             @jax.jit
-            def _topk(tx):
-                return topk_two_stage(_scores(tx), k, block_v=args.block_v)
+            def _topk(tx, vs):
+                return topk_two_stage(scores_fn(tx, vs), k,
+                                      block_v=args.block_v)
         else:
-            # production path: verified approx_max_k sweep + exact refine
-            def _topk(tx):
-                return topk_wide(scores_jit(tx), k)
+            # verified approx_max_k sweep + exact refine
+            def _topk(tx, vs):
+                return topk_wide(scores_fn(tx, vs), k)
 
         def fn(s):
-            vals, idx = _topk(txt * s)
+            vals, idx = _topk(txt * s, vis)
             return np.asarray(vals), np.asarray(idx)
     else:
         raise ValueError(args.mode)
@@ -181,9 +183,10 @@ SWEEP = [
     ("rank_pallas", 512, 2048, 64, 900),
     ("rank_pallas", 1024, 2048, 96, 900),
     ("rank_pallas", 2048, 1024, 96, 900),
-    # lax.top_k (direct or per-block) at k=1000 over ~1M columns does not
-    # compile in reasonable time on TPU (both timed out at 900 s); the
-    # verified approx_max_k path is the production top-k
+    # top-k: plain lax.top_k wins at this scale (the round-2 "compile
+    # hang" was a closed-over 8.6 GB gallery lowering as constants);
+    # topk_wide (verified approx_max_k) is the even-wider-gallery option
+    ("topk_direct", 0, 0, 0, 900),
     ("topk_wide", 0, 0, 0, 900),
 ]
 
