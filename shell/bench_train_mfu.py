@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Flagship train-step benchmark: device time + analytic MFU.
+
+Builds the headline LAFF-ml architecture (bow 11286 + w2v 500 + gru 1024 +
+clip 512 text; clip-ft/timesformer/x3d/ircsn video; common 4096, 8 heads),
+runs the REAL jitted train step (forward + triplet loss + backward +
+adam update) on synthetic batches, and reports wall/device step time and
+MFU against an analytic FLOP count (matmul-dominated terms: projections,
+GRU gates, loss score matrix; x3 for forward+backward).
+
+Prints one JSON line. Run standalone on the chip; ~2-4 min first compile
+through the remote tunnel.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("LAFF_TPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["LAFF_TPU_PLATFORM"])
+
+PEAK_BF16 = 197e12  # TPU v5e
+PEAK_F32 = PEAK_BF16 / 2
+
+
+def step_flops(spec, batch, max_len):
+    """Analytic matmul FLOPs for ONE forward pass; backward ~ 2x."""
+    fw = 0.0
+    for tower in (spec.txt, spec.vis):
+        for name, dim in tower.features:
+            if name == "rnn" and tower.gru is not None:
+                g = tower.gru
+                d = 2 if g.bidirectional else 1
+                # 3 gates x (input + recurrent) per step
+                fw += batch * max_len * d * 3 * 2 * (
+                    g.we_dim * g.rnn_size + g.rnn_size * g.rnn_size
+                )
+                dim_in = g.rnn_size * d
+            else:
+                dim_in = dim
+            if name not in tower.no_transform:
+                fw += batch * 2 * dim_in * tower.common_dim
+        # fusion gate: L x (common -> 1) per head — negligible but counted
+        fw += batch * len(tower.features) * 2 * tower.common_dim
+    # in-batch score matrix (B x B x H*d) + its use in the loss
+    fw += 2 * batch * batch * spec.txt.common_dim
+    return 3.0 * fw  # forward + ~2x backward
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    from laff_tpu.engine.trainer import TrainState, make_train_step
+    import optax
+
+    args = [a for a in sys.argv[1:] if a != "--bf16"]
+    batch = int(args[0]) if args else 128
+    max_len = 20
+    spec = ge._flagship_spec()
+    if "--bf16" in sys.argv:
+        # headline FrameLAFF config trains with float16/AMP -> bf16 here
+        import dataclasses
+
+        spec = dataclasses.replace(
+            spec,
+            txt=dataclasses.replace(spec.txt, compute_dtype="bfloat16"),
+            vis=dataclasses.replace(spec.vis, compute_dtype="bfloat16"),
+        )
+    from laff_tpu.models import LAFFModel
+
+    model = LAFFModel(spec)
+    rng = np.random.default_rng(0)
+    txt, vis = ge._example_batch(rng, b=batch, spec=spec, max_len=max_len)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, txt, vis
+    )
+
+    class _Cfg:
+        grad_clip = 2.0
+        optimizer = "adam"
+        lr = 1e-4
+
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            optax.clip_by_global_norm(2.0), optax.adam(learning_rate, eps=1e-4)
+        )
+    )(learning_rate=1e-4)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        schedule=variables.get("schedule", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    train_step = make_train_step(model, tx, spec)
+
+    txt_d = {k: jnp.asarray(v) for k, v in txt.items()}
+    vis_d = {k: jnp.asarray(v) for k, v in vis.items()}
+    key = jax.random.key(3)
+
+    # compile + settle
+    state, loss = train_step(state, txt_d, vis_d, key)
+    float(loss)
+    state, loss = train_step(state, txt_d, vis_d, key)
+    float(loss)
+
+    # RTT
+    nullf = jax.jit(lambda x: x + 1.0)
+    np.asarray(nullf(jnp.zeros(8)))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(nullf(jnp.zeros(8)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    times = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        state, loss = train_step(state, txt_d, vis_d,
+                                 jax.random.fold_in(key, i))
+        lv = float(loss)  # sync through the tunnel
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    device = max(wall - rtt, 0.02 * wall)
+    flops = step_flops(spec, batch, max_len)
+    compute_dtype = spec.txt.compute_dtype
+    peak = PEAK_BF16 if compute_dtype == "bfloat16" else PEAK_F32
+    print(json.dumps({
+        "metric": "flagship_train_step",
+        "batch": batch,
+        "wall_ms": round(wall * 1e3, 2),
+        "rtt_ms": round(rtt * 1e3, 2),
+        "device_ms": round(device * 1e3, 2),
+        "flops_per_step": round(flops / 1e9, 2),
+        "compute_dtype": compute_dtype,
+        "mfu": round(flops / device / peak, 4),
+        "steps_per_sec_device": round(1.0 / device, 1),
+        "loss": round(lv, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
