@@ -218,6 +218,17 @@ def _masked_margin2(
     return total * task3.retrieval_weight * active
 
 
+
+def _jit_step(fn):
+    """jit with the TrainState donated on accelerator backends: params and
+    optimizer state update in place instead of allocating fresh buffers
+    every step (~1 GB/step of allocation pressure at flagship dims). CPU
+    ignores donation (and would warn), so donate only off-CPU."""
+    if jax.default_backend() != "cpu":
+        return jax.jit(fn, donate_argnums=(0,))
+    return jax.jit(fn)
+
+
 def make_train_step(model: LAFFModel, tx, spec):
     loss_fn = make_loss_fn(spec)
 
@@ -268,7 +279,7 @@ def make_train_step(model: LAFFModel, tx, spec):
         )
         return new_state, loss
 
-    train_step = jax.jit(_transition)
+    train_step = _jit_step(_transition)
     train_step._transition = _transition
     return train_step
 
@@ -286,7 +297,7 @@ def make_cached_train_step(train_step, cache_arrays):
         return transition(state, txt_batch, vis, rng, false_txt_batch,
                           task3_mask, epoch)
 
-    step = jax.jit(cached_transition)
+    step = _jit_step(cached_transition)
     step._transition = cached_transition
     return step
 
@@ -315,7 +326,7 @@ def make_w2v_pooled_train_step(train_step, w2v_table):
         return transition(state, pool(txt_batch), vis, rng,
                           pool(false_txt_batch), task3_mask, epoch)
 
-    step = jax.jit(pooled_transition)
+    step = _jit_step(pooled_transition)
     step._transition = pooled_transition
     return step
 
@@ -335,7 +346,7 @@ def make_multi_train_step(train_step, with_task3: bool = False):
     """
     transition = train_step._transition
 
-    @jax.jit
+    @_jit_step
     def multi_step(state: TrainState, txt_stack, vis_stack, rngs,
                    false_stack=None, mask_stack=None, epoch=0):
         if with_task3:
