@@ -9,6 +9,7 @@ Then:  python do_trainer.py rtrain rval --rootpath <rootpath> \
 """
 import os
 import sys
+import zlib
 
 import numpy as np
 
@@ -26,7 +27,9 @@ def build(coll, n_videos, caps, seed):
     words_per_video = [rng.choice(3000, size=8, replace=False) for _ in vids]
     latent = np.stack([WORD_CODES[w].sum(0) for w in words_per_video])
     for feat, dim in FEATS.items():
-        proj = np.random.default_rng(abs(hash(feat)) % 1000).standard_normal((24, dim)).astype(np.float32) * 0.3
+        # zlib.crc32: stable across processes (str hash is salted), so
+        # worlds built in separate runs share one feature space
+        proj = np.random.default_rng(zlib.crc32(feat.encode()) % 1000).standard_normal((24, dim)).astype(np.float32) * 0.3
         mat = latent @ proj + 0.1 * rng.standard_normal((n_videos, dim)).astype(np.float32)
         write_bigfile(os.path.join(ROOT, coll, "FeatureData", feat), vids, mat)
     os.makedirs(os.path.join(ROOT, coll, "TextData"), exist_ok=True)
