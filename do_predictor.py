@@ -31,6 +31,9 @@ def parse_args(argv=None):
     parser.add_argument("--neg_method", type=str, default="sub",
                         choices=["sub", "mul"],
                         help="negation score adjustment method")
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="shard eval batches over an N-device mesh "
+                             "(batch_size must divide by N)")
     parser.add_argument("--each_head", type=int, default=0, choices=[0, 1],
                         help="also dump per-space (per-head) metrics")
     parser.add_argument("--rerank", type=str, default="none",

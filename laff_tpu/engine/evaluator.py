@@ -61,12 +61,15 @@ class Embedder:
     """Jitted tower application with static batch shapes.
 
     ``prefetch_depth`` (reference num_workers analog) bounds how many
-    batches the background featurizer keeps in flight."""
+    batches the background featurizer keeps in flight. With ``mesh``, each
+    eval batch shards over the mesh's 'dp' axis and GSPMD splits the tower
+    across devices (batch size must divide the dp axis)."""
 
-    def __init__(self, model, variables, prefetch_depth: int = 2):
+    def __init__(self, model, variables, prefetch_depth: int = 2, mesh=None):
         self.model = model
         self.variables = variables
         self.prefetch_depth = max(1, prefetch_depth)
+        self.mesh = mesh
         spec = getattr(model, "spec", None)
         self._txt_bf16 = bool(spec) and spec.txt.compute_dtype == "bfloat16"
         self._vis_bf16 = bool(spec) and spec.vis.compute_dtype == "bfloat16"
@@ -78,7 +81,13 @@ class Embedder:
         chunks, ids = [], []
         for item in Prefetcher(iter(feed), depth=self.prefetch_depth):
             data = host_cast_bf16(item["data"]) if bf16 else item["data"]
-            emb = fn(self.variables, {k: jnp.asarray(v) for k, v in data.items()})
+            if self.mesh is not None:
+                from ..parallel import shard_batch
+
+                dev = shard_batch(data, self.mesh)
+            else:
+                dev = {k: jnp.asarray(v) for k, v in data.items()}
+            emb = fn(self.variables, dev)
             chunks.append(emb[: item["valid"]] if item["valid"] < emb.shape[0] else emb)
             ids.extend(item["ids"])
         return jnp.concatenate(chunks, axis=0), ids

@@ -59,6 +59,7 @@ class PredictOptions:
     device: str = "0"
     task3_caption: str = "no_task3_caption"  # != default: boolean negation scoring
     neg_method: str = "sub"     # negation adjustment: sub | mul
+    data_parallel: int = 0      # shard eval batches over an N-device mesh
     each_head: int = 0          # also dump per-space (per-head) metrics
     rerank: str = "none"        # none | kreciprocal | tkb | concept
     # concept re-ranking inputs (reference predict_concept_rerank,
@@ -406,8 +407,25 @@ def main(opt: PredictOptions) -> Dict:
     ckpt = load_checkpoint(opt.model_path)
     config = ckpt["config"]
     model, variables, spec = rebuild_model(ckpt)
+    mesh = None
+    if opt.data_parallel > 0:
+        n = min(opt.data_parallel, len(jax.devices()))
+        if n > 1:
+            from ..parallel import data_parallel_mesh, replicate
+
+            if opt.batch_size % n:
+                raise ValueError(
+                    f"batch_size {opt.batch_size} must divide by the "
+                    f"data_parallel mesh size {n}"
+                )
+            mesh = data_parallel_mesh(n)
+            variables = replicate(variables, mesh)
+            logger.info("data-parallel inference over %d devices", n)
+        else:
+            logger.warning("data_parallel requested but only %d device(s)",
+                           len(jax.devices()))
     embedder = Embedder(model, variables,
-                        prefetch_depth=max(2, opt.num_workers))
+                        prefetch_depth=max(2, opt.num_workers), mesh=mesh)
     featurizers = rebuild_featurizers(ckpt, opt.rootpath)
 
     # StrongCLIP: swap in a fine-tuned live text tower when the config

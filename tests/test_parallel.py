@@ -1,6 +1,8 @@
 """Sharded similarity engine + data-parallel training on the 8-device
 virtual CPU mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -152,3 +154,39 @@ def test_trainer_mesh_with_transfer_optimizations(tmp_path, mesh):
     )
     result = main(opt, mesh=mesh)
     assert result["best_perf"] > 0.2, result
+
+
+def test_predictor_data_parallel_matches_single(tmp_path, mesh):
+    """--data_parallel predict: eval batches shard over the mesh; metrics
+    equal the single-device run."""
+    from helpers import build_collection, build_w2v
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.predictor import PredictOptions, main as predict_main
+    from laff_tpu.engine.trainer import main as train_main
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=32, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=16, caps_per_video=1, seed=5)
+    build_collection(root, "toytest", n_videos=16, caps_per_video=2, seed=9)
+    build_w2v(root)
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=root,
+        val_set="no", config_name="tiny", num_epochs=4, batch_size=16,
+        model_prefix="dp_pred", metric="mir",
+    )
+    result = train_main(opt)
+    model_path = os.path.join(result["model_path"], "model_best.pth.tar")
+
+    def run(sim_name, dp):
+        popt = PredictOptions(
+            testCollection="toytest", model_path=model_path,
+            sim_name=sim_name, rootpath=root,
+            query_sets="toytest.caption.txt",
+            predict_result_file=os.path.join(root, "result_log", "dp.txt"),
+            batch_size=16, overwrite=1, data_parallel=dp,
+        )
+        return predict_main(popt)["toytest.caption.txt"]["t2v"]
+
+    single = run("dp0", 0)
+    sharded = run("dp8", 8)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
