@@ -48,6 +48,9 @@ def parse_args(argv=None):
     parser.add_argument("--resume", default=0, type=int, choices=[0, 1],
                         help="resume a run (optimizer + LR state) from "
                              "model_resume.pth.tar")
+    parser.add_argument("--data_parallel", default=0, type=int,
+                        help="train data-parallel over an N-device mesh "
+                             "(batch_size must divide by N)")
     args = parser.parse_args(argv)
     return Options(**vars(args))
 
@@ -71,7 +74,16 @@ def main(argv=None):
         return end2end.main(opt)
     from laff_tpu.engine import trainer
 
-    return trainer.main(opt)
+    mesh = None
+    if opt.data_parallel > 0:
+        import jax
+
+        n = min(opt.data_parallel, len(jax.devices()))
+        if n > 1:
+            from laff_tpu.parallel import data_parallel_mesh
+
+            mesh = data_parallel_mesh(n)
+    return trainer.main(opt, mesh=mesh)
 
 
 if __name__ == "__main__":

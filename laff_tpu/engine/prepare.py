@@ -80,6 +80,9 @@ class Options:
     # counters) from <model_dir>/model_resume.pth.tar; bit-identical to an
     # uninterrupted run (the reference can only warm-start weights).
     resume: int = 0
+    # TPU-native extension: data-parallel training over an N-device mesh
+    # (batches shard over 'dp'; GSPMD inserts the gradient collectives).
+    data_parallel: int = 0
 
 
 def load_config(config_name: str):

@@ -190,3 +190,23 @@ def test_predictor_data_parallel_matches_single(tmp_path, mesh):
     single = run("dp0", 0)
     sharded = run("dp8", 8)
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+
+def test_do_trainer_cli_data_parallel(tmp_path):
+    """do_trainer --data_parallel N builds the mesh and trains sharded."""
+    import do_trainer
+    from helpers import build_collection, build_w2v
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=32, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=16, caps_per_video=1, seed=5)
+    build_w2v(root)
+    rc = do_trainer.main([
+        "toytrain", "toyval", "--rootpath", root, "--val_set", "no",
+        "--config_name", "tiny", "--num_epochs", "2", "--batch_size", "16",
+        "--model_prefix", "cli_dp", "--data_parallel", "8",
+        "--overwrite", "1",
+    ])
+    assert os.path.exists(os.path.join(
+        root, "toytrain", "w2vvpp_train", "toyval", "tiny", "cli_dp",
+        "model_best.pth.tar"))
