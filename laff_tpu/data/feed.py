@@ -179,12 +179,16 @@ class PairFeed:
         batch_size: int = 128,
         seed: int = 0,
         task3_source: Optional[TextSource] = None,
+        cap_ids: Optional[Sequence[str]] = None,
     ) -> None:
         self.text_batcher = text_batcher
         self.vis_batcher = vis_batcher
         self.batch_size = batch_size
         self.seed = seed
-        self.cap_ids = list(text_batcher.source.cap_ids)
+        # cap_ids: optional subset (train_strategy='subset' splits one
+        # collection into train/holdout, reference trainer.py:477-482)
+        self.cap_ids = list(cap_ids if cap_ids is not None
+                            else text_batcher.source.cap_ids)
         self.task3_source = task3_source
         self._augmented = (
             task3_source.negation_augmented() if task3_source is not None else {}

@@ -502,8 +502,13 @@ def prepare(opt: Options) -> Prepared:
     # __dict__ and unpickling in a fresh process sees the '0' placeholder —
     # the reference papers over this by re-running prepare_config before
     # reading the checkpoint config (predictor.py:432).
+    # train_strategy='subset' (reference main_subset, trainer.py:456-482):
+    # no separate val collection — the train pairs split 98.5/1.5 and the
+    # holdout validates (the GCC-pretrain / --only_train recipe)
+    subset = getattr(opt, "train_strategy", "usual") == "subset"
     train_vis = _open_vis_files(rootpath, opt.trainCollection, config.vid_feats)
-    val_vis = _open_vis_files(rootpath, opt.valCollection, config.vid_feats)
+    val_vis = (train_vis if subset
+               else _open_vis_files(rootpath, opt.valCollection, config.vid_feats))
     config.vis_fc_layers = [
         {n: f.ndims for n, f in train_vis.items()},
         int(config.vis_fc_layers[1]),
@@ -518,7 +523,8 @@ def prepare(opt: Options) -> Prepared:
     train_frames = val_frames = None
     if config.frame_feat_input:
         train_frames = _open_frame_files(rootpath, opt.trainCollection, config.vid_frame_feats)
-        val_frames = _open_frame_files(rootpath, opt.valCollection, config.vid_frame_feats)
+        val_frames = (train_frames if subset else
+                      _open_frame_files(rootpath, opt.valCollection, config.vid_frame_feats))
         frame_dims = {n: f.ndims for n, f in train_frames.items()}
         config.vis_fc_layers[0].update(frame_dims)
 
@@ -590,6 +596,14 @@ def prepare(opt: Options) -> Prepared:
             caps += list(TextSource(t2cap).captions.values())
         w2v_table = featurizers["w2v"].build_row_index(caps)
         dtf_w2v = True
+    train_cap_subset = None
+    if subset:
+        # sequential 98.5/1.5 split of the caption pairs (reference
+        # trainer.py:477: train_val_split = int(0.985 * length))
+        all_caps = list(train_tsource.cap_ids)
+        cut = int(0.985 * len(all_caps))
+        train_cap_subset = all_caps[:cut]
+        holdout_caps = all_caps[cut:]
     train_feed = PairFeed(
         _make_text_batcher(config, featurizers, train_tsource,
                            indexed_bow=dtf, indexed_w2v=dtf_w2v),
@@ -597,17 +611,28 @@ def prepare(opt: Options) -> Prepared:
         batch_size=opt.batch_size,
         seed=opt.random_seed,
         task3_source=task3_source,
+        cap_ids=train_cap_subset,
     )
 
-    val_ids = read_video_set(
-        os.path.join(rootpath, opt.valCollection, "VideoSets", opt.valCollection + ".txt")
-    )
-    val_tsource = TextSource(
-        val_capfile, precomputed=_text_precomputed(config, val_capfile)
-    )
-    val_vsource = VisionSource(
-        val_vis, val_ids, frame_feat_files=val_frames, max_frame=config.max_frame
-    )
+    if subset:
+        import copy
+
+        val_tsource = copy.copy(train_tsource)
+        val_tsource.cap_ids = holdout_caps
+        val_tsource.length = len(holdout_caps)
+        seen = dict.fromkeys(c.split("#")[0] for c in holdout_caps)
+        val_ids = list(seen)
+        val_vsource = train_vsource
+    else:
+        val_ids = read_video_set(
+            os.path.join(rootpath, opt.valCollection, "VideoSets", opt.valCollection + ".txt")
+        )
+        val_tsource = TextSource(
+            val_capfile, precomputed=_text_precomputed(config, val_capfile)
+        )
+        val_vsource = VisionSource(
+            val_vis, val_ids, frame_feat_files=val_frames, max_frame=config.max_frame
+        )
 
     train2_feed = None
     if getattr(opt, "trainCollection2", "None") != "None":

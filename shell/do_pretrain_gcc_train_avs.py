@@ -26,7 +26,13 @@ def main(argv=None):
     parser = argparse.ArgumentParser("GCC pretrain -> AVS fine-tune")
     parser.add_argument("--rootpath", default=ROOT_PATH)
     parser.add_argument("--pretrainCollection", default="gcc11train")
-    parser.add_argument("--pretrainVal", default="gcc11val")
+    parser.add_argument("--pretrainVal", default="gcc11val",
+                        help="ignored when --only_train 1")
+    parser.add_argument("--only_train", type=int, default=1,
+                        help="pretrain without a val collection: split the "
+                             "train pairs 98.5/1.5 and validate on the "
+                             "holdout (reference --only_train / "
+                             "train_strategy=subset)")
     parser.add_argument("--trainCollection", default="tgif-msrvtt10k")
     parser.add_argument("--valCollection", default="tv2016train")
     parser.add_argument("--val_set", default="setA")
@@ -55,6 +61,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         num_epochs=args.pretrain_epochs,
         model_prefix=f"gcc_pretrain_{args.parm}_seed_{args.seed}",
+        train_strategy="subset" if args.only_train else "usual",
     )
     pretrain_ckpt = os.path.join(model_dir_for(pre_opt), "model_best.pth.tar")
     if not os.path.exists(pretrain_ckpt):

@@ -553,3 +553,24 @@ def test_device_w2v_pool_matches_dense(tmp_path):
     _, loss_dense = raw(state, txt_dense, vis, rng)
     np.testing.assert_allclose(np.asarray(loss_pooled), np.asarray(loss_dense),
                                rtol=1e-5)
+
+
+def test_train_strategy_subset(tmp_path):
+    """train_strategy='subset' (reference main_subset / --only_train): no
+    val collection on disk — the train pairs split 98.5/1.5 and the
+    holdout validates."""
+    from laff_tpu.engine.trainer import main as train_main
+
+    root = str(tmp_path)
+    build_collection(root, "gcc_like", n_videos=48, caps_per_video=3, seed=0)
+    build_w2v(root)
+    opt = Options(
+        trainCollection="gcc_like", valCollection="does_not_exist",
+        rootpath=root, val_set="no", config_name="tiny", num_epochs=4,
+        batch_size=16, model_prefix="subset_run", metric="mir",
+        train_strategy="subset",
+    )
+    result = train_main(opt)
+    assert np.isfinite(result["best_perf"]) and result["best_perf"] > 0
+    assert os.path.exists(os.path.join(result["model_path"],
+                                       "model_best.pth.tar"))
