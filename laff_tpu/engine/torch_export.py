@@ -63,15 +63,32 @@ def export_state_dict(ckpt: Dict) -> Dict[str, np.ndarray]:
     spec = ckpt["spec"]
     sd: Dict[str, np.ndarray] = {}
 
+    # tied cross-tower fcs (txt_fc_same_with_vis_fc) materialize into BOTH
+    # towers' fc1 slots — the reference's tie is effectively untied
+    # (its multi-head module swap is a no-op), so its loader expects
+    # per-tower copies
+    txt_tied: Dict[str, Dict] = {}
+    vis_tied: Dict[str, Dict] = {}
+    for txt_name, vis_name in getattr(spec, "tied_transforms", ()) or ():
+        shared = params.get(f"tied_fc_{_safe(txt_name)}_{_safe(vis_name)}")
+        if shared is not None:
+            txt_tied[txt_name] = shared
+            vis_tied[vis_name] = shared
+
+    def _with_tied(tower_params, name, tied):
+        if name in tied and "fc1" not in tower_params:
+            return {**tower_params, "fc1": tied[name]}
+        return tower_params
+
     # text tower
     tp = params.get("txt_net", {})
     ts = stats.get("txt_net", {})
     for name, _dim in spec.txt.features:
         key = f"transform_{_safe(name)}"
-        if key in tp:
+        if key in tp or name in txt_tied:
             enc = _TXT_ENCODER_NAMES.get(name, name)
             _export_transform(
-                tp[key], ts.get(key), sd,
+                _with_tied(tp.get(key, {}), name, txt_tied), ts.get(key), sd,
                 f"txt_net.transform_layer.{enc}_transform.",
             )
     if "gru" in tp:
@@ -108,8 +125,9 @@ def export_state_dict(ckpt: Dict) -> Dict[str, np.ndarray]:
     vis_feats = list(spec.vis.features) + list(spec.vis.frame_features)
     for name, _dim in vis_feats:
         key = f"transform_{_safe(name)}"
-        if key in vp:
-            _export_transform(vp[key], vs.get(key), sd, f"{t_prefix}{name}.")
+        if key in vp or name in vis_tied:
+            _export_transform(_with_tied(vp.get(key, {}), name, vis_tied),
+                              vs.get(key), sd, f"{t_prefix}{name}.")
     if "expert_embedding" in vp:
         sd["vis_net.expert_embedding.weight"] = _np(vp["expert_embedding"])
     if "attention" in vp:

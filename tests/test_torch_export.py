@@ -173,3 +173,33 @@ def test_cli_predict_on_exported_torch_checkpoint(tmp_path):
     native = predict(native_ckpt, "native")
     roundtrip = predict(torch_path, "roundtrip")
     np.testing.assert_allclose(roundtrip, native, rtol=1e-4, atol=1e-4)
+
+
+def test_export_tied_model_materializes_fc(tmp_path):
+    """A weight-tied checkpoint exports with the shared fc materialized
+    into BOTH towers' fc1 slots (the reference is effectively untied)."""
+    from helpers import build_collection, build_w2v
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.checkpoint import load_checkpoint
+    from laff_tpu.engine.torch_export import export_state_dict
+    from laff_tpu.engine.trainer import main as train_main
+
+    root = str(tmp_path)
+    feat_dims = (("clip_ft", 16), ("w2v_like8", 8))
+    build_collection(root, "toytrain", n_videos=16, caps_per_video=2,
+                     feat_dims=feat_dims, seed=0)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1,
+                     feat_dims=feat_dims, seed=5)
+    build_w2v(root)
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=root, val_set="no", config_name="tiny_tied",
+                  num_epochs=2, batch_size=8, model_prefix="tie_exp",
+                  metric="mir")
+    result = train_main(opt)
+    ckpt = load_checkpoint(os.path.join(result["model_path"],
+                                        "model_best.pth.tar"))
+    sd = export_state_dict(ckpt)
+    tkey = "txt_net.transform_layer.w2v_encoder_transform.fc1.weight"
+    vkey = "vis_net.VisMutiTransformNet.w2v_like8.fc1.weight"
+    assert tkey in sd and vkey in sd
+    np.testing.assert_array_equal(sd[tkey], sd[vkey])  # one shared fc
