@@ -777,6 +777,11 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         )
         hist.write("epoch_%d:\nText2Video(%s): %f\n" % (epoch, opt.metric, cur_perf))
         hist.flush()
+        result.setdefault("history", []).append(
+            {"epoch": epoch, "loss": float(train_loss), "lr": float(lr),
+             **{k: float(metrics[k]) for k in
+                ("r1", "r5", "r10", "medr", "meanr", "mir", "mAP")}}
+        )
 
         lr_ctl.step(cur_perf)
         is_best = cur_perf > best_perf

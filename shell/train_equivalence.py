@@ -1,0 +1,280 @@
+"""Training-equivalence study: reference PyTorch trainer vs laff_tpu.
+
+Builds ONE synthetic learnable world in the reference collection layout,
+trains BOTH stacks on it with matched data / architecture / hyperparameters
+(LAFF multi-space, 4 heads, common=32, adam eps=1e-4, lr, StepLR(0.99) x
+Plateau(0.5, patience 2), margin-0.2 max-violation triplet, batch norm), and
+compares their loss trajectories and final validation metrics.
+
+This is the strongest *offline* evidence for the BASELINE.json R@1-parity
+north star: inference parity (imported checkpoints -> equal embeddings) was
+already proven; this study shows the TRAINING DYNAMICS (optax adam vs torch
+Adam, BN momentum, dropout, LR schedule interaction) land both frameworks in
+the same quality basin on identical data.
+
+Ref: trainer.py:533-576 (reference epoch loop), model/model.py:964-1001
+(reference train step), model/model.py:2010-2028 (optimizer/schedulers).
+
+Usage:
+    python shell/train_equivalence.py [--epochs 12] [--out EQUIVALENCE.json]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_world(root, n_train=48, n_val=24, seed=0):
+    """Shared synthetic world in the reference layout. The toy word2vec is
+    written both where laff_tpu's tiny config looks (word2vec/toy) and where
+    the reference hardcodes it (word2vec/flickr/vec500flickr30m,
+    trainer.py:190) — identical content."""
+    from laff_tpu.data.synth import build_collection, build_w2v
+
+    build_collection(root, "equivtrain", n_videos=n_train, caps_per_video=2,
+                     seed=seed)
+    build_collection(root, "equivval", n_videos=n_val, caps_per_video=1,
+                     seed=seed + 100)
+    build_w2v(root)
+    ref_w2v = os.path.join(root, "word2vec", "flickr", "vec500flickr30m")
+    if not os.path.isdir(ref_w2v):
+        os.makedirs(os.path.dirname(ref_w2v), exist_ok=True)
+        shutil.copytree(os.path.join(root, "word2vec", "toy"), ref_w2v)
+
+
+def run_reference(root, epochs, batch_size, lr, seed, timeout=1800):
+    """Reference trainer in a fresh torch-only subprocess."""
+    out = os.path.join(root, "ref_curves.json")
+    cmd = [
+        sys.executable, os.path.join(REPO, "shell", "ref_train_driver.py"),
+        "--rootpath", root, "--train", "equivtrain", "--val", "equivval",
+        "--epochs", str(epochs), "--batch_size", str(batch_size),
+        "--lr", repr(lr), "--seed", str(seed), "--out", out,
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CUDA_VISIBLE_DEVICES="")
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                          env=env)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference trainer failed (rc={proc.returncode}):\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}"
+        )
+    with open(out) as fh:
+        return json.load(fh)
+
+
+def run_ours(root, epochs, batch_size, lr, seed):
+    """laff_tpu trainer in-process (CPU platform must already be forced by
+    the caller when a TPU plugin is installed)."""
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.trainer import main as train_main
+
+    # match the reference config's lr without editing configs/tiny.py:
+    # tiny.py already IS the matched config (lr 2e-3); assert rather than
+    # silently diverge for other lr values
+    from laff_tpu.engine.prepare import load_config
+
+    cfg = load_config("tiny")
+    assert abs(cfg.lr - lr) < 1e-12, (
+        f"configs/tiny.py lr {cfg.lr} != requested {lr}; keep both stacks "
+        "matched (ref_train_driver injects lr into configs.ref_equiv)"
+    )
+    opt = Options(
+        trainCollection="equivtrain", valCollection="equivval", rootpath=root,
+        val_set="no", config_name="tiny", num_epochs=epochs,
+        batch_size=batch_size, model_prefix="laff_tpu_equiv_run",
+        random_seed=seed, workers=0, overwrite=1,
+    )
+    result = train_main(opt)
+    return {
+        "framework": "laff_tpu",
+        "epochs": result.get("history", []),
+        "best_perf": result["best_perf"],
+    }
+
+
+def run_reference_steps(root, epochs, batch_size, lr, seed, timeout=1800):
+    """Reference step driver (shell/ref_step_driver.py) in a subprocess;
+    returns (steps_report, init_state_path)."""
+    out = os.path.join(root, "ref_steps.json")
+    state = os.path.join(root, "ref_init.pth.tar")
+    cmd = [
+        sys.executable, os.path.join(REPO, "shell", "ref_step_driver.py"),
+        "--rootpath", root, "--train", "equivtrain",
+        "--epochs", str(epochs), "--batch_size", str(batch_size),
+        "--lr", repr(lr), "--seed", str(seed), "--out", out,
+        "--state_out", state,
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CUDA_VISIBLE_DEVICES="")
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                          env=env)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference step driver failed (rc={proc.returncode}):\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}"
+        )
+    with open(out) as fh:
+        return json.load(fh), state
+
+
+def run_ours_steps(root, ref_steps, init_state_path, lr, epochs,
+                   heads=4, common=32):
+    """Replay the reference's exact batches through OUR train step, starting
+    from the reference's exact initial weights (imported via the torch-import
+    pipeline). With dropout off, per-step loss differences isolate the update
+    rule: adam (eps placement), global-norm clipping, BN batch-stats flow.
+
+    Returns the per-step loss list (same length/order as ref_steps['losses'])."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "shell"))
+    from ref_train_driver import inject_equiv_config
+
+    sys.path.insert(0, os.environ.get("LAFF_REFERENCE", "/root/reference"))
+    inject_equiv_config(lr, heads, common)
+    config = sys.modules["configs.ref_equiv"].config()
+    config.dropout = 0.0
+    config.last_dropout = 0.0
+    config.txt_fc_layers = [0, common]
+
+    sd = torch.load(init_state_path, map_location="cpu",
+                    weights_only=False)["model"]
+    from laff_tpu.engine.torch_import import (
+        convert_state_dict, spec_from_reference_config,
+    )
+
+    spec = spec_from_reference_config(config, state_dict=sd)
+    params, stats, schedule = convert_state_dict(sd, spec)
+
+    from laff_tpu.engine.trainer import (
+        TrainState, make_optimizer, make_train_step,
+    )
+    from laff_tpu.models import LAFFModel
+    from laff_tpu.store import BigFile
+    from laff_tpu.text import BowVecNSW, IndexVec, W2VecNSW, build_vocab
+
+    model = LAFFModel(spec)
+    tx = make_optimizer(config)
+    state = TrainState(params=params, batch_stats=stats, schedule=schedule,
+                       opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32))
+    train_step = make_train_step(model, tx, spec)
+
+    capfile = os.path.join(root, "equivtrain", "TextData",
+                           "equivtrain.caption.txt")
+    bow_vocab, _ = build_vocab(capfile, "bow_nsw", threshold=1)
+    gru_vocab, _ = build_vocab(capfile, "gru", threshold=1)
+    bow = BowVecNSW(bow_vocab)
+    w2v = W2VecNSW(os.path.join(root, "word2vec", "flickr",
+                                "vec500flickr30m"))
+    idx = IndexVec(gru_vocab)
+    feats = {
+        f: BigFile(os.path.join(root, "equivtrain", "FeatureData", f))
+        for f in config.vid_feats
+    }
+
+    def featurize(batch):
+        captions = batch["captions"]
+        ids, lengths = idx.encode_batch_padded(
+            captions, max_len=max(len(c.split()) + 2 for c in captions))
+        txt = {
+            "rnn_ids": jnp.asarray(ids),
+            "rnn_len": jnp.asarray(lengths),
+            "bow": jnp.asarray(bow.encode_batch(captions)),
+            "w2v": jnp.asarray(w2v.encode_batch(captions)),
+        }
+        vis = {f: jnp.asarray(bf.gather(batch["vis_ids"])[1])
+               for f, bf in feats.items()}
+        return txt, vis
+
+    rng = jax.random.key(0)  # dropout is 0; the stream is never consumed
+    losses = []
+    prepared_batches = [featurize(b) for b in ref_steps["batches"]]
+    for epoch in range(epochs):
+        for txt, vis in prepared_batches:
+            state, loss = train_step(state, txt, vis, rng)
+            losses.append(float(loss))
+    return losses
+
+
+def epoch_mean_loss(epoch_record):
+    """Reference epochs carry a per-iter 'loss' list; ours a scalar."""
+    loss = epoch_record.get("loss")
+    if isinstance(loss, list):
+        return sum(loss) / max(len(loss), 1)
+    return float(loss)
+
+
+def compare(ref, ours):
+    """Equivalence criteria (empirical bands, see test for rationale):
+    both stacks must LEARN (loss drops, retrieval far above chance) and
+    must land in the same basin (final val metrics within a band)."""
+    ref_losses = [epoch_mean_loss(e) for e in ref["epochs"]]
+    our_losses = [epoch_mean_loss(e) for e in ours["epochs"]]
+    ref_last = ref["epochs"][-1]
+    our_last = ours["epochs"][-1]
+    report = {
+        "ref_loss_first": ref_losses[0], "ref_loss_last": ref_losses[-1],
+        "our_loss_first": our_losses[0], "our_loss_last": our_losses[-1],
+        "ref_loss_drop": 1 - ref_losses[-1] / max(ref_losses[0], 1e-9),
+        "our_loss_drop": 1 - our_losses[-1] / max(our_losses[0], 1e-9),
+        "ref_best_mir": ref["best_perf"], "our_best_mir": ours["best_perf"],
+        "mir_abs_diff": abs(ref["best_perf"] - ours["best_perf"]),
+        "final": {
+            k: {"ref": ref_last.get(k), "ours": our_last.get(k)}
+            for k in ("r1", "r5", "r10", "medr", "mir")
+        },
+        "ref_loss_per_epoch": ref_losses,
+        "our_loss_per_epoch": our_losses,
+        "ref_mir_per_epoch": [e.get("mir") for e in ref["epochs"]],
+        "our_mir_per_epoch": [e.get("mir") for e in ours["epochs"]],
+    }
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--seed", type=int, default=2)
+    ap.add_argument("--root", default=None, help="world dir (default: tmp)")
+    ap.add_argument("--out", default=os.path.join(REPO, "EQUIVALENCE.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    if jax.default_backend() != "cpu":  # pragma: no cover - env dependent
+        print("note: running laff_tpu side on backend", jax.default_backend())
+
+    import tempfile
+
+    root = args.root or tempfile.mkdtemp(prefix="equiv_world_")
+    build_world(root)
+    print("world at", root)
+
+    ref = run_reference(root, args.epochs, args.batch_size, args.lr, args.seed)
+    ours = run_ours(root, args.epochs, args.batch_size, args.lr, args.seed)
+    report = compare(ref, ours)
+    report["world"] = {"root": root, "epochs": args.epochs,
+                       "batch_size": args.batch_size, "lr": args.lr,
+                       "seed": args.seed}
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps({k: report[k] for k in
+                      ("ref_best_mir", "our_best_mir", "mir_abs_diff",
+                       "ref_loss_drop", "our_loss_drop")}, indent=1))
+    print("full report:", args.out)
+
+
+if __name__ == "__main__":
+    main()

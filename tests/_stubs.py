@@ -38,6 +38,21 @@ def install_reference_stubs() -> None:
             regex.IGNORECASE = _re.IGNORECASE
             regex.findall = _re.findall
             sys.modules["regex"] = _INSTALLED["regex"] = regex
+    if "prefetch_generator" not in sys.modules:
+        pg = _module("prefetch_generator")
+
+        class BackgroundGenerator:  # plain pass-through iterator
+            def __init__(self, generator, max_prefetch=1):
+                self.generator = iter(generator)
+
+            def __iter__(self):
+                return self.generator
+
+            def __next__(self):
+                return next(self.generator)
+
+        pg.BackgroundGenerator = BackgroundGenerator
+        sys.modules["prefetch_generator"] = _INSTALLED["prefetch_generator"] = pg
     if "torchvision" not in sys.modules:
         tv = _module("torchvision")
         transforms = _module("torchvision.transforms")
