@@ -95,7 +95,10 @@ def inject_equiv_config(lr, heads, common):
 
 def build_reference_vocabs(rootpath, train):
     """Pickle reference-format Vocabulary files where prepare_config looks
-    for them (trainer.py:186-208)."""
+    for them (trainer.py:186-208). A laff_tpu run may have written its own
+    Vocabulary class at the same path first — the reference can't unpickle
+    that (laff_tpu reads BOTH via a compat unpickler), so anything the
+    reference can't load is rebuilt reference-format in place."""
     import build_vocab as ref_build_vocab
 
     capfile = os.path.join(rootpath, train, "TextData", f"{train}.caption.txt")
@@ -104,7 +107,12 @@ def build_reference_vocabs(rootpath, train):
     for enc in ("bow_nsw", "gru"):
         path = os.path.join(vdir, f"{enc}_1.pkl")
         if os.path.exists(path):
-            continue
+            try:
+                with open(path, "rb") as fh:
+                    pickle.load(fh)
+                continue
+            except Exception:
+                os.unlink(path)  # laff_tpu-format: rebuild reference-format
         vocab, _ = ref_build_vocab.build_vocab(capfile, enc, threshold=1, lang="en")
         with open(path, "wb") as fw:
             pickle.dump(vocab, fw, pickle.HIGHEST_PROTOCOL)
@@ -139,6 +147,7 @@ def main():
     ap.add_argument("--seed", type=int, default=2)
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--common", type=int, default=32)
+    ap.add_argument("--model_prefix", default="ref_equiv_run")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -158,7 +167,7 @@ def main():
         "--rootpath", args.rootpath, "--device", "cpu", "--val_set", "no",
         "--config_name", "ref_equiv", "--num_epochs", str(args.epochs),
         "--batch_size", str(args.batch_size), "--workers", "0",
-        "--random_seed", str(args.seed), "--model_prefix", "ref_equiv_run",
+        "--random_seed", str(args.seed), "--model_prefix", args.model_prefix,
         "--overwrite", "1",
     ]
     from do_trainer import parse_args

@@ -206,6 +206,57 @@ def run_ours_steps(root, ref_steps, init_state_path, lr, epochs,
     return losses
 
 
+def fix_checkpoint_for_reference(export_path, out_path, root,
+                                 train="equivtrain", val="equivval"):
+    """Rewrite a laff_tpu-exported checkpoint so the reference predictor can
+    torch.load it in a clean torch-only process: config -> None (the
+    reference predictor rebuilds it via trainer.prepare_config from opt,
+    predictor.py:432-435, so the pickled laff_tpu config class would only be
+    an import liability), opt -> an argparse.Namespace carrying the fields
+    prepare_config reads, pointing at the injected configs.ref_equiv."""
+    import argparse as _argparse
+
+    import torch
+
+    ckpt = torch.load(export_path, map_location="cpu", weights_only=False)
+    ckpt["config"] = None
+    # keep the payload weights_only-loadable (torch>=2.6 default) up to the
+    # Namespace, which ref_predict_driver allowlists
+    ckpt["best_perf"] = float(ckpt.get("best_perf") or 0.0)
+    ckpt["epoch"] = int(ckpt.get("epoch") or 0)
+    ckpt["opt"] = _argparse.Namespace(
+        trainCollection=train, valCollection=val, trainCollection2="None",
+        rootpath=root, config_name="ref_equiv", parm_adjust_config="None",
+        val_set="no", model_prefix="export_check", device="cpu",
+        random_seed=2, pretrained_file_path="None",
+        task2_caption="no_task2_caption", task3_caption="no_task3_caption",
+        train_strategy="usual",
+    )
+    torch.save(ckpt, out_path)
+    return out_path
+
+
+def run_reference_predict(root, test, ckpt_path, timeout=1800):
+    """Reference predictor (shell/ref_predict_driver.py) in a subprocess;
+    returns {'t2v': [r1,r5,r10,medr,meanr,mir,mAP], 'v2t': [...]}."""
+    out = os.path.join(root, "ref_predict.json")
+    cmd = [
+        sys.executable, os.path.join(REPO, "shell", "ref_predict_driver.py"),
+        "--rootpath", root, "--test", test, "--ckpt", ckpt_path,
+        "--out", out,
+    ]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", CUDA_VISIBLE_DEVICES="")
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                          env=env)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference predictor failed (rc={proc.returncode}):\n"
+            f"{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}"
+        )
+    with open(out) as fh:
+        return json.load(fh)
+
+
 def epoch_mean_loss(epoch_record):
     """Reference epochs carry a per-iter 'loss' list; ours a scalar."""
     loss = epoch_record.get("loss")
