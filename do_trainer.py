@@ -35,12 +35,18 @@ def parse_args(argv=None):
     parser.add_argument("--local_rank", default=0, type=int)
     parser.add_argument("--pretrained_file_path", default="None", type=str)
     parser.add_argument("--save_mean_last", default=0, type=int, choices=[0, 1])
-    parser.add_argument("--steps_per_dispatch", default=1, type=int,
-                        help="K train steps per device dispatch (lax.scan)")
-    parser.add_argument("--device_feature_cache", default=0, type=int,
-                        choices=[0, 1],
+    parser.add_argument("--steps_per_dispatch", default=-1, type=int,
+                        help="K train steps per device dispatch (lax.scan); "
+                             "-1 auto (scan once epochs are device-resident)")
+    parser.add_argument("--device_feature_cache", default=-1, type=int,
+                        choices=[-1, 0, 1],
                         help="keep train video features in HBM; batches "
-                             "carry row indices only")
+                             "carry row indices only (-1 auto)")
+    parser.add_argument("--device_text_cache", default=-1, type=int,
+                        choices=[-1, 0, 1],
+                        help="keep caption encodings in HBM too; a train "
+                             "step's host traffic becomes two (B,) int32 "
+                             "index vectors (-1 auto)")
     parser.add_argument("--device_text_featurize", default=0, type=int,
                         choices=[0, 1],
                         help="ship bow as sparse (ids, counts); densify "

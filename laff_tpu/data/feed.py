@@ -193,6 +193,11 @@ class PairFeed:
         self._augmented = (
             task3_source.negation_augmented() if task3_source is not None else {}
         )
+        # device-resident caches (engine/feature_cache.py) gather features
+        # by id on device; the trainer flips these off so epochs skip the
+        # host featurization work and batches carry only id lists
+        self.featurize_txt = True
+        self.featurize_vis = True
 
     def steps_per_epoch(self) -> int:
         return len(self.cap_ids) // self.batch_size
@@ -208,10 +213,12 @@ class PairFeed:
             batch = {
                 "cap_ids": chunk,
                 "vis_ids": vis_ids,
-                "vis": self.vis_batcher(vis_ids),
             }
+            if self.featurize_vis:
+                batch["vis"] = self.vis_batcher(vis_ids)
             if self.task3_source is None:
-                batch["txt"] = self.text_batcher(chunk)
+                if self.featurize_txt:
+                    batch["txt"] = self.text_batcher(chunk)
             else:
                 captions = []
                 false_captions = []

@@ -64,3 +64,98 @@ class DeviceVisCache:
         return np.fromiter(
             (self.row[v] for v in vis_ids), np.int32, count=len(vis_ids)
         )
+
+
+def _pad_concat(parts, name):
+    """Concatenate per-chunk arrays, right-padding axis 1 when chunks padded
+    text to different widths (e.g. netvlad tokens pad to the chunk max)."""
+    widths = {p[name].shape[1] for p in parts if p[name].ndim >= 2}
+    if len(widths) <= 1:
+        return np.concatenate([p[name] for p in parts])
+    w = max(widths)
+    padded = []
+    for p in parts:
+        a = p[name]
+        if a.shape[1] < w:
+            pad = [(0, 0)] * a.ndim
+            pad[1] = (0, w - a.shape[1])
+            a = np.pad(a, pad)
+        padded.append(a)
+    return np.concatenate(padded)
+
+
+class DeviceTxtCache:
+    """All train captions' text encodings resident on device; lookup by
+    cap_id.
+
+    Built by running the feed's TextBatcher once over every caption
+    (chunked), so gathered rows are bit-identical to fed batches — token
+    id arrays pad to the global max_txtlength already, and float feature
+    arrays get the same host bf16 rounding the fed path applies for bf16
+    towers. Together with DeviceVisCache this makes epochs fully
+    device-resident: a batch is two (B,) int32 index vectors.
+
+    Sizes at LAFF flagship scale (MSR-VTT train, ~130k captions): sparse
+    bow ids/counts + gru ids + w2v ids ~ tens of MB; dense bow (vocab
+    ~11k) f32 would be ~5.5 GB — the auto-enable path in the trainer
+    estimates first and refuses over-budget caches (prefer
+    device_text_featurize=1 to keep bow sparse)."""
+
+    def __init__(self, text_batcher, cap_ids: Sequence[str] = None,
+                 bf16: bool = False, chunk: int = 1024, mesh=None):
+        caps = list(cap_ids if cap_ids is not None
+                    else text_batcher.source.cap_ids)
+        self.row = {c: i for i, c in enumerate(caps)}
+        parts = []
+        for s in range(0, len(caps), chunk):
+            parts.append(text_batcher(caps[s : s + chunk]))
+        names = list(parts[0].keys())
+        arrays = {n: _pad_concat(parts, n) for n in names}
+        if bf16:
+            arrays = host_cast_bf16(arrays)
+        if mesh is not None:
+            from ..parallel import replicate
+
+            self.arrays: Dict[str, jnp.ndarray] = replicate(arrays, mesh)
+        else:
+            self.arrays = {n: jnp.asarray(a) for n, a in arrays.items()}
+        self.nbytes = sum(
+            int(a.size) * a.dtype.itemsize for a in self.arrays.values()
+        )
+        logger.info(
+            "device text cache: %d captions, %d arrays, %.1f MB in HBM",
+            len(caps), len(self.arrays), self.nbytes / 1e6,
+        )
+
+    def indices(self, cap_ids: Sequence[str]) -> np.ndarray:
+        return np.fromiter(
+            (self.row[c] for c in cap_ids), np.int32, count=len(cap_ids)
+        )
+
+
+def estimate_txt_cache_bytes(text_batcher, cap_ids=None, bf16: bool = False,
+                             probe: int = 64) -> int:
+    """Bytes the text cache would occupy, from a small probe batch.
+    Token-id arrays already pad to the global max length, so
+    bytes-per-caption from the probe extrapolates linearly."""
+    caps = list(cap_ids if cap_ids is not None
+                else text_batcher.source.cap_ids)
+    sample = text_batcher(caps[: min(probe, len(caps))])
+    if bf16:
+        sample = host_cast_bf16(sample)
+    per_row = sum(
+        int(a.size) * a.dtype.itemsize // a.shape[0] for a in sample.values()
+    )
+    return per_row * len(caps)
+
+
+def estimate_vis_cache_bytes(vis_batcher, bf16: bool = False,
+                             probe: int = 64) -> int:
+    vids = list(vis_batcher.source.vis_ids)
+    sample = vis_batcher(vids[: min(probe, len(vids))])
+    if bf16:
+        sample = host_cast_bf16(sample)
+    per_row = sum(
+        int(a.size) * a.dtype.itemsize // a.shape[0] for a in sample.values()
+    )
+    return per_row * len(vids)

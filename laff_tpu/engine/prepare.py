@@ -68,11 +68,17 @@ class Options:
     pretrained_file_path: str = "None"
     save_mean_last: int = 0
     # TPU-native extension: K train steps per device dispatch (lax.scan);
-    # amortizes per-dispatch host latency. 1 = reference-style stepping.
-    steps_per_dispatch: int = 1
+    # amortizes per-dispatch host latency. -1 = auto (scan once epochs are
+    # device-resident), 1 = reference-style stepping.
+    steps_per_dispatch: int = -1
     # TPU-native extension: keep all train video features resident in HBM
     # and send only int32 row indices per batch (engine/feature_cache.py).
-    device_feature_cache: int = 0
+    # -1 = auto (on when bit-identical to the fed path and under the
+    # LAFF_TPU_CACHE_BUDGET HBM budget), 0 = off, 1 = force on.
+    device_feature_cache: int = -1
+    # TPU-native extension: same for the caption-side encodings — with both
+    # caches a train step's host traffic is two (B,) int32 index vectors.
+    device_text_cache: int = -1
     # TPU-native extension: ship bow vectors as sparse (ids, counts) pairs
     # and densify on device (FusionTower scatter).
     device_text_featurize: int = 0

@@ -302,6 +302,24 @@ def make_cached_train_step(train_step, cache_arrays):
     return step
 
 
+def make_txt_cached_train_step(train_step, txt_arrays):
+    """Train step over a DeviceTxtCache: the text argument becomes (B,)
+    int32 caption rows gathered from HBM inside the jit. Composed outside
+    the vis cache and w2v-pooling wrappers, a training step's entire host
+    traffic is two index vectors (~1 KB)."""
+    transition = train_step._transition
+
+    def txt_cached_transition(state, txt_idx, vis, rng,
+                              false_txt_batch=None, task3_mask=None, epoch=0):
+        txt = {k: v[txt_idx] for k, v in txt_arrays.items()}
+        return transition(state, txt, vis, rng, false_txt_batch,
+                          task3_mask, epoch)
+
+    step = _jit_step(txt_cached_transition)
+    step._transition = txt_cached_transition
+    return step
+
+
 def make_w2v_pooled_train_step(train_step, w2v_table):
     """Train step with device-side w2v mean pooling: text batches carry
     (B, T) int32 row ids + (B,) counts into a device-resident word-vector
@@ -467,7 +485,7 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
                     log_every: int = 50, multi_step=None,
                     steps_per_dispatch: int = 1,
                     cast_txt_bf16: bool = False, cast_vis_bf16: bool = False,
-                    vis_cache=None, prefetch_depth: int = 3):
+                    vis_cache=None, txt_cache=None, prefetch_depth: int = 3):
     """One epoch. Losses stay on device until logging points — reading a
     scalar every step costs a host round trip that can dominate wall
     clock (observed 40ms step -> 500ms with per-step float(loss)).
@@ -496,8 +514,13 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
             return jnp.asarray(vis_cache.indices(batch["vis_ids"]))
         return to_dev(batch["vis"], cast_vis_bf16)
 
+    def txt_arg(batch):
+        if txt_cache is not None:
+            return jnp.asarray(txt_cache.indices(batch["cap_ids"]))
+        return to_dev(batch["txt"], cast_txt_bf16)
+
     def single_step(state, batch):
-        txt = to_dev(batch["txt"], cast_txt_bf16)
+        txt = txt_arg(batch)
         vis = vis_arg(batch)
         if mesh is not None:
             txt = shard_batch(txt, mesh)
@@ -518,10 +541,15 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
         nonlocal pending_n
         if not buf:
             return state
-        lead = buf[0]["txt"]
-        same = len(buf) == steps_per_dispatch and all(
-            b["txt"][k].shape == lead[k].shape for b in buf for k in lead
-        )
+        if txt_cache is not None:
+            same = len(buf) == steps_per_dispatch and all(
+                len(b["cap_ids"]) == len(buf[0]["cap_ids"]) for b in buf
+            )
+        else:
+            lead = buf[0]["txt"]
+            same = len(buf) == steps_per_dispatch and all(
+                b["txt"][k].shape == lead[k].shape for b in buf for k in lead
+            )
         if use_scan and same:
             rngs = jnp.stack([b["_rng"] for b in buf])
             if vis_cache is not None:
@@ -529,7 +557,11 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
                     [vis_cache.indices(b["vis_ids"]) for b in buf]))
             else:
                 vis_s = _stack_batches(buf, "vis", cast_vis_bf16)
-            txt_s = _stack_batches(buf, "txt", cast_txt_bf16)
+            if txt_cache is not None:
+                txt_s = jnp.asarray(np.stack(
+                    [txt_cache.indices(b["cap_ids"]) for b in buf]))
+            else:
+                txt_s = _stack_batches(buf, "txt", cast_txt_bf16)
             if mesh is not None:
                 # (K, B, ...) stacks: dp shards the per-step batch axis
                 txt_s = shard_batch(txt_s, mesh, axis_index=1)
@@ -628,16 +660,63 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
 
             table = replicate(table, mesh)
         train_step = make_w2v_pooled_train_step(train_step, table)
-    vis_cache = None
-    if getattr(opt, "device_feature_cache", 0):
-        from .feature_cache import DeviceVisCache
+    # -- device-resident epochs (on by default whenever HBM allows) --------
+    # -1 = auto: cache whenever semantics are preserved and the estimate
+    # fits the budget. Caching is bit-identical to the fed path EXCEPT when
+    # (a) task3 resamples false captions per epoch or (b) frame features
+    # are randomly resampled per epoch — auto declines both.
+    budget = int(os.environ.get("LAFF_TPU_CACHE_BUDGET", 4 * 1024**3))
+    deterministic_feed = spec.task3 is None and (
+        not getattr(spec.vis, "frame_features", None)
+        or getattr(config, "frame_sample_type_train", "uniform") != "random"
+    )
+    from .feature_cache import (
+        DeviceTxtCache, DeviceVisCache, estimate_txt_cache_bytes,
+        estimate_vis_cache_bytes,
+    )
 
+    vis_cache = None
+    want_vis = int(getattr(opt, "device_feature_cache", -1))
+    if want_vis == -1:
+        want_vis = int(
+            deterministic_feed
+            and estimate_vis_cache_bytes(
+                prepared.train_feed.vis_batcher, bf16=cast_vis) <= budget
+        )
+    if want_vis:
         vis_cache = DeviceVisCache(
             prepared.train_feed.vis_batcher, bf16=cast_vis, mesh=mesh
         )
         train_step = make_cached_train_step(train_step, vis_cache.arrays)
+    txt_cache = None
+    want_txt = int(getattr(opt, "device_text_cache", -1))
+    if want_txt == -1:
+        want_txt = int(
+            want_vis  # txt rows alone don't help while vis features stream
+            and deterministic_feed
+            and estimate_txt_cache_bytes(
+                prepared.train_feed.text_batcher,
+                cap_ids=prepared.train_feed.cap_ids, bf16=cast_txt,
+            ) + (vis_cache.nbytes if vis_cache else 0) <= budget
+        )
+    if want_txt:
+        txt_cache = DeviceTxtCache(
+            prepared.train_feed.text_batcher,
+            cap_ids=prepared.train_feed.cap_ids, bf16=cast_txt, mesh=mesh,
+        )
+        train_step = make_txt_cached_train_step(train_step, txt_cache.arrays)
+    # with both caches the feed only needs to emit id lists — skip the
+    # host featurization work entirely
+    prepared.train_feed.featurize_txt = txt_cache is None
+    prepared.train_feed.featurize_vis = vis_cache is None
     multi_step = None
-    spd = getattr(opt, "steps_per_dispatch", 1)
+    spd = int(getattr(opt, "steps_per_dispatch", -1))
+    if spd <= 0:
+        # auto: scan only helps once batches are index-only (otherwise it
+        # serializes host transfer against device compute); 8 steps per
+        # dispatch amortizes dispatch latency without bloating compile time
+        spd = min(8, max(1, prepared.train_feed.steps_per_epoch())) \
+            if txt_cache is not None and vis_cache is not None else 1
     if spd > 1:
         multi_step = make_multi_train_step(
             train_step, with_task3=(spec.task3 is not None)
@@ -746,7 +825,8 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             train_step, state, prepared.train_feed, epoch, mesh=mesh,
             logger_=scalar_log, multi_step=multi_step, steps_per_dispatch=spd,
             cast_txt_bf16=cast_txt, cast_vis_bf16=cast_vis,
-            vis_cache=vis_cache, prefetch_depth=prefetch_depth,
+            vis_cache=vis_cache, txt_cache=txt_cache,
+            prefetch_depth=prefetch_depth,
         )
         if profile_dir and epoch == 1:
             jax.profiler.stop_trace()

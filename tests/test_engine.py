@@ -287,6 +287,39 @@ def test_device_feature_cache_matches_fed_batches(tmp_path):
     )
 
 
+def test_fully_cached_auto_training_matches_fed_path(tmp_path):
+    """The auto default (device_feature_cache=-1, device_text_cache=-1,
+    steps_per_dispatch=-1 => device-resident epochs + scan) must reproduce
+    the explicit fed path (all off) exactly: same per-epoch losses and
+    best_perf — the cached gathers and the scan are bit-identical
+    reorganizations, not approximations."""
+    import os
+
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.trainer import main as train_main
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=18, caps_per_video=2, seed=1)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=6)
+    build_w2v(root)
+
+    def run(prefix, **kw):
+        opt = Options(trainCollection="toytrain", valCollection="toyval",
+                      rootpath=root, val_set="no", config_name="tiny",
+                      num_epochs=2, batch_size=8, model_prefix=prefix, **kw)
+        return train_main(opt)
+
+    fed = run("fed", device_feature_cache=0, device_text_cache=0,
+              steps_per_dispatch=1)
+    auto = run("auto")  # defaults: everything -1 (auto)
+    assert fed["best_perf"] > 0
+    np.testing.assert_allclose(auto["best_perf"], fed["best_perf"],
+                               rtol=1e-6)
+    fed_losses = [e["loss"] for e in fed["history"]]
+    auto_losses = [e["loss"] for e in auto["history"]]
+    np.testing.assert_allclose(auto_losses, fed_losses, rtol=1e-5)
+
+
 def test_train_main_with_feature_cache_and_scan(tmp_path):
     """End-to-end: device_feature_cache=1 composed with steps_per_dispatch,
     through the real training entry point."""
