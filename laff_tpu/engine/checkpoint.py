@@ -125,8 +125,16 @@ def save_checkpoint_dance(
         os.remove(resfile)
     if only_best:
         staged = os.path.join(logdir, "model_temp_best.pth.tar")
-        shutil.copyfile(staged, os.path.join(logdir, "model_best.pth.tar"))
-        os.remove(staged)
+        best = os.path.join(logdir, "model_best.pth.tar")
+        if os.path.exists(staged):
+            shutil.copyfile(staged, best)
+            os.remove(staged)
+        elif not os.path.exists(best):
+            # a RESUMED run that never beat the pre-interrupt best has no
+            # staged file and no materialized best either (the reference
+            # can't hit this: its fresh runs always improve at epoch 0);
+            # fall back to the current weights rather than crashing
+            save_checkpoint(state, best)
 
 
 def average_states(states) -> Dict[str, Any]:

@@ -131,33 +131,43 @@ def avs_task(sweep: SweepOptions) -> Dict[str, Dict]:
         return results
 
     for prefix, res in results.items():
-        res["infAP"] = {}
-        for query_set, pred in res.get("predict", {}).items():
-            score_file = pred.get("score_file")
-            if not score_file:
-                continue
-            edition = query_set.split(".")[0]  # 'tv16.avs.txt' -> 'tv16'
-            if edition not in (sweep.avs_editions or []):
-                continue
-            topics = os.path.join(
-                sweep.rootpath, sweep.testCollection, "TextData", query_set
-            )
-            shots = os.path.join(
-                sweep.rootpath, sweep.testCollection, "VideoSets",
-                f"{sweep.testCollection}.txt",
-            )
-            xml = scores_to_xml(
-                score_file,
-                topics_file=topics if os.path.exists(topics) else None,
-                shots_file=shots if os.path.exists(shots) else None,
-                overwrite=True,
-            )
-            qrels = os.path.join(
-                sweep.rootpath, sweep.testCollection, "TextData",
-                f"avs.qrels.{edition}",
-            )
-            if os.path.exists(qrels):
-                res["infAP"][edition] = evaluate_xml(xml, qrels, overwrite=True)
-                logger.info("%s %s infAP=%.4f", prefix, edition,
-                            res["infAP"][edition])
+        # every scored checkpoint gets the full xml -> infAP chain, like
+        # the reference's editions x {model_best, mean_last10} loop
+        # (avs_task.sh:169-259); res['infAP'] keeps the model_best view
+        res["infAP_all"] = {}
+        for tag, pred_set in res.get("predict_all", {}).items():
+            per_edition = res["infAP_all"].setdefault(tag, {})
+            for query_set, pred in pred_set.items():
+                score_file = pred.get("score_file")
+                if not score_file:
+                    continue
+                edition = query_set.split(".")[0]  # 'tv16.avs.txt' -> 'tv16'
+                if edition not in (sweep.avs_editions or []):
+                    continue
+                topics = os.path.join(
+                    sweep.rootpath, sweep.testCollection, "TextData", query_set
+                )
+                shots = os.path.join(
+                    sweep.rootpath, sweep.testCollection, "VideoSets",
+                    f"{sweep.testCollection}.txt",
+                )
+                xml = scores_to_xml(
+                    score_file,
+                    topics_file=topics if os.path.exists(topics) else None,
+                    shots_file=shots if os.path.exists(shots) else None,
+                    overwrite=True,
+                )
+                qrels = os.path.join(
+                    sweep.rootpath, sweep.testCollection, "TextData",
+                    f"avs.qrels.{edition}",
+                )
+                if os.path.exists(qrels):
+                    per_edition[edition] = evaluate_xml(
+                        xml, qrels, overwrite=True)
+                    logger.info("%s %s %s infAP=%.4f", prefix, tag, edition,
+                                per_edition[edition])
+        res["infAP"] = res["infAP_all"].get(
+            "model_best",
+            next(iter(res["infAP_all"].values())) if res["infAP_all"] else {},
+        )
     return results

@@ -229,11 +229,33 @@ def _jit_step(fn):
     return jax.jit(fn)
 
 
+def _bind_step(transition, extras):
+    """Jit a transition and bind its ``extras`` pytree (device-resident
+    cache arrays, embedding tables) as a real ARGUMENT of every call.
+
+    Closing the jit over multi-GB arrays instead would lower them as
+    compile-time constants — the compiler then receives gigabytes of
+    literals, which hangs remote-compile backends and bloats executables
+    (observed: a 6.6 GB captured-constants warning from a cache-sized
+    closure). Device-resident args are free to pass per call."""
+    jitted = _jit_step(transition)
+
+    def step(state, txt, vis, rng, false_txt_batch=None, task3_mask=None,
+             epoch=0):
+        return jitted(state, txt, vis, rng, false_txt_batch, task3_mask,
+                      epoch, extras)
+
+    step._transition = transition
+    step._extras = extras
+    return step
+
+
 def make_train_step(model: LAFFModel, tx, spec):
     loss_fn = make_loss_fn(spec)
 
     def _transition(state: TrainState, txt_batch, vis_batch, rng,
-                    false_txt_batch=None, task3_mask=None, epoch=0):
+                    false_txt_batch=None, task3_mask=None, epoch=0,
+                    extras=None):
         def compute(params):
             variables = {"params": params}
             if state.batch_stats:
@@ -279,27 +301,27 @@ def make_train_step(model: LAFFModel, tx, spec):
         )
         return new_state, loss
 
-    train_step = _jit_step(_transition)
-    train_step._transition = _transition
-    return train_step
+    return _bind_step(_transition, {})
 
 
 def make_cached_train_step(train_step, cache_arrays):
     """Train step over a DeviceVisCache: takes (B,) int32 gallery rows
     instead of feature arrays and gathers them from HBM inside the jit —
     per-step host traffic drops to the text features plus a few hundred
-    bytes of indices."""
+    bytes of indices. The cache rides the ``extras`` argument (never a jit
+    closure — see _bind_step)."""
     transition = train_step._transition
 
     def cached_transition(state, txt_batch, vis_idx, rng,
-                          false_txt_batch=None, task3_mask=None, epoch=0):
-        vis = {k: v[vis_idx] for k, v in cache_arrays.items()}
+                          false_txt_batch=None, task3_mask=None, epoch=0,
+                          extras=None):
+        vis = {k: v[vis_idx] for k, v in extras["vis_cache"].items()}
         return transition(state, txt_batch, vis, rng, false_txt_batch,
-                          task3_mask, epoch)
+                          task3_mask, epoch, extras)
 
-    step = _jit_step(cached_transition)
-    step._transition = cached_transition
-    return step
+    return _bind_step(
+        cached_transition, {**train_step._extras, "vis_cache": cache_arrays}
+    )
 
 
 def make_txt_cached_train_step(train_step, txt_arrays):
@@ -310,14 +332,15 @@ def make_txt_cached_train_step(train_step, txt_arrays):
     transition = train_step._transition
 
     def txt_cached_transition(state, txt_idx, vis, rng,
-                              false_txt_batch=None, task3_mask=None, epoch=0):
-        txt = {k: v[txt_idx] for k, v in txt_arrays.items()}
+                              false_txt_batch=None, task3_mask=None, epoch=0,
+                              extras=None):
+        txt = {k: v[txt_idx] for k, v in extras["txt_cache"].items()}
         return transition(state, txt, vis, rng, false_txt_batch,
-                          task3_mask, epoch)
+                          task3_mask, epoch, extras)
 
-    step = _jit_step(txt_cached_transition)
-    step._transition = txt_cached_transition
-    return step
+    return _bind_step(
+        txt_cached_transition, {**train_step._extras, "txt_cache": txt_arrays}
+    )
 
 
 def make_w2v_pooled_train_step(train_step, w2v_table):
@@ -330,7 +353,7 @@ def make_w2v_pooled_train_step(train_step, w2v_table):
     transition = train_step._transition
     table = w2v_table if isinstance(w2v_table, jnp.ndarray) else jnp.asarray(w2v_table)
 
-    def pool(batch):
+    def pool(batch, table):
         if batch is None or "w2v_ids" not in batch:
             return batch
         batch = dict(batch)
@@ -340,13 +363,15 @@ def make_w2v_pooled_train_step(train_step, w2v_table):
         return batch
 
     def pooled_transition(state, txt_batch, vis, rng,
-                          false_txt_batch=None, task3_mask=None, epoch=0):
-        return transition(state, pool(txt_batch), vis, rng,
-                          pool(false_txt_batch), task3_mask, epoch)
+                          false_txt_batch=None, task3_mask=None, epoch=0,
+                          extras=None):
+        t = extras["w2v_table"]
+        return transition(state, pool(txt_batch, t), vis, rng,
+                          pool(false_txt_batch, t), task3_mask, epoch, extras)
 
-    step = _jit_step(pooled_transition)
-    step._transition = pooled_transition
-    return step
+    return _bind_step(
+        pooled_transition, {**train_step._extras, "w2v_table": table}
+    )
 
 
 def make_multi_train_step(train_step, with_task3: bool = False):
@@ -363,23 +388,31 @@ def make_multi_train_step(train_step, with_task3: bool = False):
     (K,) key array.
     """
     transition = train_step._transition
+    extras = train_step._extras
 
-    @_jit_step
-    def multi_step(state: TrainState, txt_stack, vis_stack, rngs,
-                   false_stack=None, mask_stack=None, epoch=0):
+    def multi_transition(state: TrainState, txt_stack, vis_stack, rngs,
+                         false_stack=None, mask_stack=None, epoch=0,
+                         extras=None):
         if with_task3:
             xs = (txt_stack, vis_stack, rngs, false_stack, mask_stack)
 
             def body(s, x):
                 t, v, r, f, m = x
-                return transition(s, t, v, r, f, m, epoch)
+                return transition(s, t, v, r, f, m, epoch, extras)
         else:
             xs = (txt_stack, vis_stack, rngs)
 
             def body(s, x):
                 t, v, r = x
-                return transition(s, t, v, r)
+                return transition(s, t, v, r, extras=extras)
         return jax.lax.scan(body, state, xs)
+
+    jitted = _jit_step(multi_transition)
+
+    def multi_step(state, txt_stack, vis_stack, rngs,
+                   false_stack=None, mask_stack=None, epoch=0):
+        return jitted(state, txt_stack, vis_stack, rngs, false_stack,
+                      mask_stack, epoch, extras)
 
     return multi_step
 

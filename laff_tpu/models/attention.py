@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.norms import l2norm
+from .initializers import torch_linear_init
 from .spec import AttentionSpec
 
 _NEG_INF = -1e30
@@ -65,7 +66,10 @@ class GateAttention(nn.Module):
 
         logits = nn.Dense(
             1,
-            kernel_init=nn.initializers.xavier_uniform(),
+            # torch nn.Linear defaults (the reference does NOT xavier its
+            # gates); see initializers.py for the measured basin gap
+            kernel_init=torch_linear_init(local_embs.shape[-1]),
+            bias_init=torch_linear_init(local_embs.shape[-1]),
             name="gate",
         )(common)[..., 0]  # (B, L)
         if mask is not None:
@@ -178,11 +182,11 @@ class MultiHeadGateAttention(nn.Module):
         if self.distinct_fc:
             kernel = self.param(
                 "gate_kernel",
-                nn.initializers.xavier_uniform(),
+                torch_linear_init(dh),
                 (h, self.max_positions, dh),
             )
             bias = self.param(
-                "gate_bias", nn.initializers.zeros, (h, self.max_positions)
+                "gate_bias", torch_linear_init(dh), (h, self.max_positions)
             )
             logits = (
                 jnp.einsum("blhd,hld->blh", common, kernel[:, :length, :])
@@ -190,9 +194,9 @@ class MultiHeadGateAttention(nn.Module):
             )
         else:
             kernel = self.param(
-                "gate_kernel", nn.initializers.xavier_uniform(), (h, dh)
+                "gate_kernel", torch_linear_init(dh), (h, dh)
             )
-            bias = self.param("gate_bias", nn.initializers.zeros, (h,))
+            bias = self.param("gate_bias", torch_linear_init(dh), (h,))
             logits = jnp.einsum("blhd,hd->blh", common, kernel) + bias
 
         if mask is not None:

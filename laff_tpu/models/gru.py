@@ -20,6 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .initializers import torch_linear_init
 from .spec import GruSpec
 
 
@@ -84,14 +85,14 @@ class GruEncoder(nn.Module):
         h_dim = sp.rnn_size
 
         def layer_params(tag, in_dim):
-            w_ih = self.param(
-                f"w_ih_{tag}", nn.initializers.xavier_uniform(), (3 * h_dim, in_dim)
-            )
-            w_hh = self.param(
-                f"w_hh_{tag}", nn.initializers.orthogonal(), (3 * h_dim, h_dim)
-            )
-            b_ih = self.param(f"b_ih_{tag}", nn.initializers.zeros, (3 * h_dim,))
-            b_hh = self.param(f"b_hh_{tag}", nn.initializers.zeros, (3 * h_dim,))
+            # torch nn.GRU defaults: EVERY weight/bias ~ U(+-1/sqrt(hidden))
+            # (see initializers.py for the measured from-scratch basin gap
+            # vs the earlier xavier/orthogonal/zero-bias choice)
+            init = torch_linear_init(h_dim)
+            w_ih = self.param(f"w_ih_{tag}", init, (3 * h_dim, in_dim))
+            w_hh = self.param(f"w_hh_{tag}", init, (3 * h_dim, h_dim))
+            b_ih = self.param(f"b_ih_{tag}", init, (3 * h_dim,))
+            b_hh = self.param(f"b_hh_{tag}", init, (3 * h_dim,))
             return w_ih, w_hh, b_ih, b_hh
 
         outs = x

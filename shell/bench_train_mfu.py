@@ -136,7 +136,7 @@ def main():
     flops = step_flops(spec, batch, max_len)
     compute_dtype = spec.txt.compute_dtype
     peak = PEAK_BF16 if compute_dtype == "bfloat16" else PEAK_F32
-    print(json.dumps({
+    out = {
         "metric": "flagship_train_step",
         "batch": batch,
         "wall_ms": round(wall * 1e3, 2),
@@ -146,8 +146,70 @@ def main():
         "compute_dtype": compute_dtype,
         "mfu": round(flops / device / peak, 4),
         "steps_per_sec_device": round(1.0 / device, 1),
+        "steps_per_sec_wall": round(1.0 / wall, 1),
         "loss": round(lv, 3),
-    }))
+    }
+
+    # --cached K: the now-default device-resident path — text + video
+    # features live in HBM (MSR-VTT-train-sized caches), K steps scan in
+    # one dispatch, only (K, B) int32 index stacks cross the host link.
+    cached_k = 0
+    if "--cached" in sys.argv:
+        cached_k = int(sys.argv[sys.argv.index("--cached") + 1])
+    if cached_k:
+        from laff_tpu.engine.trainer import (
+            make_cached_train_step, make_multi_train_step,
+            make_txt_cached_train_step,
+        )
+
+        n_videos, n_caps = 10_000, 130_000  # msrvtt10ktrain scale
+        vis_cache = {
+            k: jnp.asarray(
+                np.repeat(np.asarray(v), max(1, n_videos // batch), axis=0)
+                [:n_videos]
+            )
+            for k, v in vis.items()
+        }
+        txt_cache = {
+            k: jnp.asarray(
+                np.repeat(np.asarray(v), max(1, n_caps // batch), axis=0)
+                [:n_caps]
+            )
+            for k, v in txt.items()
+        }
+        step_c = make_cached_train_step(train_step, vis_cache)
+        step_c = make_txt_cached_train_step(step_c, txt_cache)
+        multi = make_multi_train_step(step_c)
+        irng = np.random.default_rng(1)
+
+        def stacks(i):
+            ti = jnp.asarray(
+                irng.integers(0, n_caps, (cached_k, batch)).astype(np.int32))
+            vi = jnp.asarray(
+                irng.integers(0, n_videos, (cached_k, batch)).astype(np.int32))
+            rngs = jax.random.split(jax.random.fold_in(key, i), cached_k)
+            return ti, vi, rngs
+
+        ti, vi, rngs = stacks(0)
+        state2 = state
+        state2, losses = multi(state2, ti, vi, rngs)  # compile
+        float(losses[-1])
+        ctimes = []
+        for i in range(1, 6):
+            ti, vi, rngs = stacks(i)
+            t0 = time.perf_counter()
+            state2, losses = multi(state2, ti, vi, rngs)
+            float(losses[-1])
+            ctimes.append(time.perf_counter() - t0)
+        cwall = min(ctimes)
+        out.update({
+            "cached_k": cached_k,
+            "cached_wall_ms_per_step": round(cwall / cached_k * 1e3, 2),
+            "cached_steps_per_sec_wall": round(cached_k / cwall, 1),
+            "cached_mfu_wall": round(flops * cached_k / cwall / peak, 4),
+            "throughput_x_vs_fed": round(wall / (cwall / cached_k), 2),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

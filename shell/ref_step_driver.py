@@ -116,7 +116,8 @@ def main():
         json.dump({"losses": losses, "batches": batches,
                    "steps_per_epoch": len(batches)}, fh, indent=1)
     print(json.dumps({"ok": True, "n_steps": len(losses),
-                      "first": losses[0], "last": losses[-1]}))
+                      "first": losses[0] if losses else None,
+                      "last": losses[-1] if losses else None}))
 
 
 if __name__ == "__main__":

@@ -106,7 +106,7 @@ def test_frame_laff_end_to_end(tmp_path):
     build_collection(root, "toyval", n_videos=12, caps_per_video=1, seed=5,
                      frame_feat=True)
     build_w2v(root)
-    opt = make_opt(root, config_name="tiny_frame", num_epochs=3, batch_size=12,
+    opt = make_opt(root, config_name="tiny_frame", num_epochs=5, batch_size=12,
                    model_prefix="run_frame")
     result = main(opt)
     assert result["best_perf"] > 0.2, result

@@ -77,6 +77,82 @@ def test_avs_task_end_to_end(sweep_world, monkeypatch):
     assert 0.0 <= results[key]["infAP"]["tv99"] <= 1.0
     assert os.path.exists(score_file + ".xml")
 
+    # the vendored NIST Perl scorer (official path) agrees with the Python
+    # xinfAP on the produced submission
+    import shutil as _shutil
+
+    if _shutil.which("perl"):
+        from laff_tpu.eval.trecvid import evaluate_xml
+
+        qrels = os.path.join(sweep_world, "toytest", "TextData",
+                             "avs.qrels.tv99")
+        perl_ap = evaluate_xml(score_file + ".xml", qrels, overwrite=True,
+                               use_perl=True)
+        np.testing.assert_allclose(perl_ap, results[key]["infAP"]["tv99"],
+                                   atol=2e-4)
+
+
+def test_avs_task_scores_every_checkpoint(sweep_world, monkeypatch):
+    """Editions x {model_best, mean_last10}: every requested checkpoint goes
+    through the score -> XML -> infAP chain (reference avs_task.sh:169-259
+    loops both)."""
+    import shutil
+
+    import laff_tpu.engine.predictor as P
+
+    monkeypatch.setattr(P, "AVS_COLLECTIONS", ("toytest",))
+    tdir = os.path.join(sweep_world, "toytest", "TextData")
+    with open(os.path.join(tdir, "tv98.queries.txt"), "w") as fh:
+        from helpers import WORDS
+
+        for i in range(3):
+            fh.write(f"8{i:02d} the {' '.join(WORDS[i:i+4])}\n")
+    rng = np.random.default_rng(1)
+    with open(os.path.join(tdir, "avs.qrels.tv98"), "w") as fh:
+        for i in range(3):
+            for v in range(20):
+                fh.write(f"18{i:02d} 0 video{v} 1 {int(rng.random() < 0.3)}\n")
+
+    sweep = SweepOptions(
+        trainCollection="toytrain", valCollection="toyval",
+        testCollection="toytest", rootpath=sweep_world, config_name="tiny",
+        parm_adjust_configs=["None"], random_seeds=[2], val_set="no",
+        batch_size=12, num_epochs=2, overwrite=1,
+        result_file=os.path.join(sweep_world, "result_log", "avs2.txt"),
+        avs_query_sets="tv98.queries.txt",
+        avs_editions=["tv98"],
+        checkpoints=["model_best.pth.tar", "mean_last10.pth.tar"],
+    )
+    # a 2-epoch improving run never writes mean_last10; materialize one (a
+    # valid checkpoint) so both loop arms execute deterministically
+    from laff_tpu.engine.orchestrate import Options as _O  # noqa: N814
+    from laff_tpu.engine.prepare import model_dir_for
+
+    opt = _O(trainCollection="toytrain", valCollection="toyval",
+             rootpath=sweep_world, val_set="no", config_name="tiny",
+             model_prefix="runs_None_seed_2")
+    from laff_tpu.engine import trainer as T
+
+    topt = _O(trainCollection="toytrain", valCollection="toyval",
+              rootpath=sweep_world, val_set="no", config_name="tiny",
+              num_epochs=2, batch_size=12, model_prefix="runs_None_seed_2",
+              overwrite=1)
+    T.main(topt)
+    mdir = model_dir_for(opt)
+    shutil.copy(os.path.join(mdir, "model_best.pth.tar"),
+                os.path.join(mdir, "mean_last10.pth.tar"))
+    sweep.overwrite = 0  # reuse the trained model; still rescores
+
+    results = avs_task(sweep)
+    all_aps = results["runs_None_seed_2"]["infAP_all"]
+    assert set(all_aps) == {"model_best", "mean_last10"}
+    for tag in ("model_best", "mean_last10"):
+        assert "tv98" in all_aps[tag], all_aps
+        assert 0.0 <= all_aps[tag]["tv98"] <= 1.0
+    # identical weights => identical infAP through both chains
+    np.testing.assert_allclose(all_aps["model_best"]["tv98"],
+                               all_aps["mean_last10"]["tv98"], atol=1e-9)
+
 
 def test_reproduce_mvtest3k_dry_run():
     """The R@1-parity reproduction script's plumbing stays green: synthetic

@@ -17,8 +17,13 @@ from laff_tpu.eval.trecvid import (
 )
 from laff_tpu.eval.trecvid.infap import format_report
 
-REFERENCE_PERL = "/root/reference/tv_avs_eval/sample_eval.pl"
-HAVE_PERL = shutil.which("perl") is not None and os.path.exists(REFERENCE_PERL)
+# the NIST scorer is vendored (laff_tpu/eval/trecvid/sample_eval.pl) so the
+# official-scorer path works in a standalone deployment; the parity test
+# runs against the vendored copy and needs only perl itself
+VENDORED_PERL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "laff_tpu", "eval", "trecvid", "sample_eval.pl")
+HAVE_PERL = shutil.which("perl") is not None and os.path.exists(VENDORED_PERL)
 
 
 def synth_qrels_and_run(tmp_path, rng, n_topics=3, n_docs=400, topk=200):
@@ -87,7 +92,7 @@ def test_python_scorer_matches_nist_perl(tmp_path, rng):
     ours = sample_eval(qrels, run)
 
     out = subprocess.run(
-        ["perl", REFERENCE_PERL, "-q", qrels, run],
+        ["perl", VENDORED_PERL, "-q", qrels, run],
         capture_output=True, text=True, cwd=str(tmp_path), check=True,
     ).stdout
 
