@@ -163,20 +163,24 @@ def main():
         )
 
         n_videos, n_caps = 10_000, 130_000  # msrvtt10ktrain scale
-        vis_cache = {
-            k: jnp.asarray(
-                np.repeat(np.asarray(v), max(1, n_videos // batch), axis=0)
-                [:n_videos]
+
+        def grow(a, n):
+            return jnp.asarray(
+                np.repeat(np.asarray(a), max(1, -(-n // a.shape[0])), axis=0)[:n]
             )
-            for k, v in vis.items()
-        }
-        txt_cache = {
-            k: jnp.asarray(
-                np.repeat(np.asarray(v), max(1, n_caps // batch), axis=0)
-                [:n_caps]
-            )
-            for k, v in txt.items()
-        }
+
+        vis_cache = {k: grow(v, n_videos) for k, v in vis.items()}
+        # production flagship text caching keeps bow SPARSE (ids, counts)
+        # and densifies on device (FusionTower scatter): a dense 11k-wide
+        # f32 bow row x 130k captions would be 5.5 GB of cache for nothing
+        txt_src = dict(txt)
+        if "bow" in txt_src:
+            bow_dim = txt_src.pop("bow").shape[1]
+            irng0 = np.random.default_rng(7)
+            txt_src["bow_ids"] = irng0.integers(
+                0, bow_dim, (batch, max_len)).astype(np.int32)
+            txt_src["bow_cnt"] = np.ones((batch, max_len), np.float32)
+        txt_cache = {k: grow(np.asarray(v), n_caps) for k, v in txt_src.items()}
         step_c = make_cached_train_step(train_step, vis_cache)
         step_c = make_txt_cached_train_step(step_c, txt_cache)
         multi = make_multi_train_step(step_c)
