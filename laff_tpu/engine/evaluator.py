@@ -11,6 +11,7 @@ runs on the host for validation.
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import weakref
@@ -221,6 +222,198 @@ def score_matrix_streaming(
 # caching embeddings (reference threshold 5e4, model/model.py:1020);
 # overridable for testing and small-HBM deployments
 LARGE_GALLERY = int(os.environ.get("LAFF_TPU_LARGE_GALLERY", 50_000))
+
+
+# ---------------------------------------------------------------------------
+# streaming benchmark metrics (large gallery, both axes big)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _gather_gt_scores(S, gt_cols, col_base, gt_scores):
+    """Fold this block's ground-truth entries into the running (T,) gt-score
+    vector. ``gt_cols`` are GLOBAL gallery columns; entries outside
+    [col_base, col_base + B) keep their previous value."""
+    local = gt_cols - col_base
+    b = S.shape[1]
+    hit = (local >= 0) & (local < b)
+    vals = jnp.take_along_axis(S, jnp.clip(local, 0, b - 1)[:, None], axis=1)[:, 0]
+    return jnp.where(hit, vals, gt_scores)
+
+
+@jax.jit
+def _count_inc(S, gt_scores, gt_cols, col_base):
+    """Per-row greater/tie-after increments of this block vs the gt scores
+    (same semantics as ranks_from_scores_device, global column ids)."""
+    col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, (1, S.shape[1]), 1)
+    greater = jnp.sum((S > gt_scores[:, None]).astype(jnp.int32), axis=1)
+    tie = jnp.sum(
+        ((S == gt_scores[:, None]) & (col_ids > gt_cols[:, None])).astype(jnp.int32),
+        axis=1,
+    )
+    return greater, tie
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _topk_merge(run_vals, run_idx, S, col_base, k):
+    """Merge this block's columns into the running per-row top-k
+    (values, global indices)."""
+    b = S.shape[1]
+    blk_idx = col_base + jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
+    cat_vals = jnp.concatenate([run_vals, S], axis=1)
+    cat_idx = jnp.concatenate([run_idx, blk_idx], axis=1)
+    vals, pos = jax.lax.top_k(cat_vals, k)
+    idx = jnp.take_along_axis(cat_idx, pos, axis=1)
+    return vals, idx
+
+
+@jax.jit
+def _v2t_block_ranks(S, pos):
+    """Ranks of each block video's positive captions among ALL T captions.
+
+    S: (T, B) block scores (caption axis complete), pos: (B, P) int32
+    global caption indices, -1 padding. Returns (B, P) 1-based ranks
+    (0 where padded), with the host argsort-reversal tie semantics
+    (larger caption index wins ties)."""
+    svt = S.T  # (B, T)
+    cap_ids = jax.lax.broadcasted_iota(jnp.int32, (1, svt.shape[1]), 1)
+
+    def per_slot(p_col):  # p_col: (B,)
+        safe = jnp.clip(p_col, 0, svt.shape[1] - 1)
+        s_p = jnp.take_along_axis(svt, safe[:, None], axis=1)  # (B, 1)
+        greater = jnp.sum((svt > s_p).astype(jnp.int32), axis=1)
+        tie = jnp.sum(
+            ((svt == s_p) & (cap_ids > p_col[:, None])).astype(jnp.int32), axis=1
+        )
+        return greater + tie + 1
+
+    ranks = jax.lax.map(per_slot, pos.T)  # (P, B), serialized to bound memory
+    return jnp.where(pos >= 0, ranks.T, 0)
+
+
+def streaming_benchmark_eval(
+    embedder: Embedder,
+    txt_embs: jnp.ndarray,
+    txt_ids: List[str],
+    vis_feed: EvalFeed,
+    topk: int = 500,
+) -> Dict:
+    """Exact t2v AND v2t benchmark metrics plus a top-k rank dump over a
+    gallery too large to cache, never materializing a host (T, V) matrix
+    (VERDICT r2 item 6; reference ``predict_batch`` regime,
+    model/model.py:1081-1128, materializes host rows — we keep everything
+    as device counting like :func:`t2v_ranks`).
+
+    Two streaming passes over ``vis_feed`` (~2x the matmul FLOPs, but the
+    1M-gallery design-point matmul is seconds of device time while the
+    host (T, V) it avoids would be hundreds of GB):
+
+    * pass 1 computes each (T, B) score block once on device and uses it
+      for (a) gathering each caption's ground-truth score — from the SAME
+      matmul that pass 2 compares against, so tie semantics stay
+      bit-exact — (b) a running top-k merge for the rank dump, and
+      (c) v2t positive-caption ranks (the caption axis is complete per
+      block);
+    * pass 2 recomputes each block and accumulates greater/tie-after
+      counts vs the now-complete gt-score vector on device.
+
+    Returns dict with t2v/v2t metric tuples, t2v ranks, top-k
+    (indices, values) and the streamed gallery ids.
+    """
+    from ..ops.pallas_kernels import flatten_heads
+
+    heads = txt_embs.shape[1] if txt_embs.ndim == 3 else 1
+    tn = flatten_heads(txt_embs)
+    T = tn.shape[0]
+
+    vis_ids = list(vis_feed.ids)
+    vid_index = {v: i for i, v in enumerate(vis_ids)}
+    gt_cols_host = np.asarray(
+        [vid_index[t.split("#")[0]] for t in txt_ids], dtype=np.int32
+    )
+    gt_cols = jnp.asarray(gt_cols_host)
+
+    # per-video positive caption lists (v2t ground truth)
+    root_to_caps: Dict[str, List[int]] = {}
+    for i, tid in enumerate(txt_ids):
+        root_to_caps.setdefault(tid.split("#")[0], []).append(i)
+    p_max = max(len(v) for v in root_to_caps.values())
+
+    def blocks():
+        col = 0
+        for item in Prefetcher(iter(vis_feed), depth=2):
+            emb = embedder._vis(
+                embedder.variables,
+                {k: jnp.asarray(v) for k, v in item["data"].items()},
+            )
+            emb = emb[: item["valid"]]
+            vn = flatten_heads(emb)
+            S = _flat_scores_block(tn, vn, heads)
+            yield col, item, S
+            col += item["valid"]
+
+    # ---- pass 1: gt scores + top-k merge + v2t ranks --------------------
+    k = min(topk, len(vis_ids)) if topk else 0
+    gt_scores = jnp.full((T,), -np.inf, dtype=jnp.float32)
+    run_vals = jnp.full((T, k), -np.inf, dtype=jnp.float32) if k else None
+    run_idx = jnp.zeros((T, k), dtype=jnp.int32) if k else None
+    v2t_rank_lists: List[np.ndarray] = []
+    v2t_counts: List[int] = []
+    for col, item, S in blocks():
+        gt_scores = _gather_gt_scores(S, gt_cols, col, gt_scores)
+        if k:
+            run_vals, run_idx = _topk_merge(run_vals, run_idx, S, col, k)
+        pos = np.full((item["valid"], p_max), -1, dtype=np.int32)
+        for b, vid in enumerate(item["ids"]):
+            caps = root_to_caps.get(vid, ())
+            pos[b, : len(caps)] = caps
+        pranks = np.asarray(_v2t_block_ranks(S, jnp.asarray(pos)))
+        for b in range(item["valid"]):
+            n_pos = int((pos[b] >= 0).sum())
+            if n_pos:
+                v2t_rank_lists.append(np.sort(pranks[b, :n_pos]))
+                v2t_counts.append(n_pos)
+
+    # ---- pass 2: exact t2v counting vs the complete gt vector -----------
+    greater = jnp.zeros((T,), dtype=jnp.int32)
+    tie = jnp.zeros((T,), dtype=jnp.int32)
+    for col, item, S in blocks():
+        g, t = _count_inc(S, gt_scores, gt_cols, col)
+        greater = greater + g
+        tie = tie + t
+    t2v_rank_arr = np.asarray(greater + tie + 1)
+
+    t2v = metrics_from_ranks(t2v_rank_arr)
+    v2t = metrics_from_positive_ranks(v2t_rank_lists)
+    out = {
+        "t2v": t2v,
+        "v2t": v2t,
+        "t2v_ranks": t2v_rank_arr,
+        "vis_ids": vis_ids,
+    }
+    if k:
+        out["topk_idx"] = np.asarray(run_idx)
+        out["topk_vals"] = np.asarray(run_vals)
+    return out
+
+
+def metrics_from_positive_ranks(rank_lists: List[np.ndarray]):
+    """(r1, r5, r10, medr, meanr, mir, mAP) from per-query sorted positive
+    ranks — the multi-positive analog of eval_label_matrix (reference
+    ``evaluation.py:92-109``): positions == sorted ranks of the positives."""
+    n = len(rank_lists)
+    firsts = np.empty(n)
+    aps = np.empty(n)
+    for i, pos in enumerate(rank_lists):
+        firsts[i] = pos[0]
+        aps[i] = np.mean([(j + 1.0) / pos[j] for j in range(len(pos))])
+    r1, r5, r10 = [100.0 * np.mean(firsts <= kk) for kk in (1, 5, 10)]
+    return (
+        r1, r5, r10,
+        float(np.floor(np.median(firsts))),
+        float(firsts.mean()),
+        float((1.0 / firsts).mean()),
+        float(aps.mean()),
+    )
 
 
 def validate(

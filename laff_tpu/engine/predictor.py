@@ -83,18 +83,26 @@ def _topk_rankings(scores: np.ndarray, k: int):
 
 def write_rank_dump(
     path: Optional[str],
-    scores: np.ndarray,
+    scores: Optional[np.ndarray],
     txt_ids: List[str],
     vis_ids: List[str],
     pkl_path: Optional[str] = None,
     captions: Optional[Dict[str, str]] = None,
     threshold: int = 2000,
+    topk_rankings=None,
 ):
     """Reference ``txt2video_write_to_file`` (``predictor.py:53-88``):
     per-query ranked '<vis_id> <score>' lines (top-K when the gallery is
-    large) and/or a pickled {txt_id: {query, rank_list, sim_value}} dict."""
-    topk = threshold if len(vis_ids) >= threshold else len(vis_ids)
-    idx, vals = _topk_rankings(scores, topk)
+    large) and/or a pickled {txt_id: {query, rank_list, sim_value}} dict.
+
+    ``topk_rankings=(idx, vals)`` supplies precomputed per-row descending
+    rankings (the streaming large-gallery path merges them on the fly);
+    otherwise they are ranked here from the full score matrix."""
+    if topk_rankings is not None:
+        idx, vals = topk_rankings
+    else:
+        topk = threshold if len(vis_ids) >= threshold else len(vis_ids)
+        idx, vals = _topk_rankings(scores, topk)
     vis_arr = np.asarray(vis_ids)
 
     if path is not None:
@@ -462,11 +470,30 @@ def main(opt: PredictOptions) -> Dict:
         )
         measure = getattr(config, "measure", "cosine")
         txt_embs, txt_ids = embedder.embed_txt(txt_feed)
+        streaming_eval = None
         if len(vis_ids) > LARGE_GALLERY:
-            # AVS-scale gallery: stream blocks, never cache embeddings
-            # (reference predict_batch path)
-            scores, vis_ids = score_matrix_streaming(embedder, txt_embs, vis_feed)
-            vis_embs = None
+            is_benchmark = (coll not in AVS_COLLECTIONS
+                            and query_set != "simple_query.txt")
+            if (is_benchmark and opt.rerank == "none"
+                    and opt.task3_caption == "no_task3_caption"
+                    and measure == "cosine"):
+                # large BENCHMARK gallery: metrics + top-k dump via
+                # two-pass device counting — never a host (T, V) matrix
+                from .evaluator import streaming_benchmark_eval
+
+                streaming_eval = streaming_benchmark_eval(
+                    embedder, txt_embs, txt_ids, vis_feed, topk=500
+                )
+                vis_ids = streaming_eval["vis_ids"]
+                scores, vis_embs = None, None
+            else:
+                # AVS-scale gallery (or rerank/negation needing full
+                # scores over few queries): stream blocks, never cache
+                # embeddings (reference predict_batch path)
+                scores, vis_ids = score_matrix_streaming(
+                    embedder, txt_embs, vis_feed
+                )
+                vis_embs = None
         else:
             if vis_embs is None:  # cache across query sets (record_emb parity)
                 vis_embs, vis_ids = embedder.embed_vis(vis_feed)
@@ -513,7 +540,9 @@ def main(opt: PredictOptions) -> Dict:
             scores = apply_rerank(opt.rerank, scores, txt_embs, vis_embs)
 
         if coll not in AVS_COLLECTIONS and query_set != "simple_query.txt":
-            if opt.rerank != "none" or scores_adjusted or vis_embs is None:
+            if streaming_eval is not None:
+                t2v = streaming_eval["t2v"]
+            elif opt.rerank != "none" or scores_adjusted or vis_embs is None:
                 from ..eval.metrics import eval_t2v
 
                 t2v = eval_t2v(scores, txt_ids, vis_ids)
@@ -531,8 +560,15 @@ def main(opt: PredictOptions) -> Dict:
                 None, scores, txt_ids, vis_ids,
                 pkl_path=os.path.join(output_dir, "t2v.pkl"),
                 captions=tsrc.captions, threshold=500,
+                topk_rankings=(
+                    (streaming_eval["topk_idx"], streaming_eval["topk_vals"])
+                    if streaming_eval is not None else None
+                ),
             )
-            v2t = v2t_metrics(scores, txt_ids, vis_ids)
+            if streaming_eval is not None:
+                v2t = streaming_eval["v2t"]
+            else:
+                v2t = v2t_metrics(scores, txt_ids, vis_ids)
             append_result_row(
                 os.path.join(result_dir, "VideoToText", result_name),
                 opt.model_path + "\t" + coll, parm_adjust, v2t,

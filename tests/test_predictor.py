@@ -192,7 +192,7 @@ def test_streaming_gallery_path(trained_world, monkeypatch):
         batch_size=8,
         overwrite=1,
     )
-    cached = predict_main(opt)["toytest.caption.txt"]["t2v"]
+    cached = predict_main(opt)["toytest.caption.txt"]
 
     monkeypatch.setattr(P, "LARGE_GALLERY", 5)  # force streaming
     opt2 = PredictOptions(
@@ -205,8 +205,111 @@ def test_streaming_gallery_path(trained_world, monkeypatch):
         batch_size=8,
         overwrite=1,
     )
-    streamed = P.main(opt2)["toytest.caption.txt"]["t2v"]
-    np.testing.assert_allclose(streamed, cached, rtol=1e-5, atol=1e-6)
+    streamed = P.main(opt2)["toytest.caption.txt"]
+    np.testing.assert_allclose(streamed["t2v"], cached["t2v"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(streamed["v2t"], cached["v2t"],
+                               rtol=1e-5, atol=1e-6)
+
+    # the streamed top-k pkl dump carries the same ranking values
+    def load_pkl(sim):
+        pkl = os.path.join(root, "toytest", "SimilarityIndex",
+                           "toytest.caption.txt", sim, "t2v.pkl")
+        with open(pkl, "rb") as fh:
+            return pickle.load(fh)
+
+    d1, d2 = load_pkl("stream_run"), load_pkl("stream_run2")
+    assert set(d1) == set(d2)
+    for tid in d1:
+        np.testing.assert_allclose(d1[tid]["sim_value"], d2[tid]["sim_value"],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_benchmark_eval_exact_with_ties():
+    """streaming_benchmark_eval (two-pass device counting, VERDICT r2
+    item 6) is bit-exact vs the host full-matrix oracle, including
+    duplicated gallery vectors (exact score ties)."""
+    import jax
+    import jax.numpy as jnp
+
+    from laff_tpu.data.feed import EvalFeed
+    from laff_tpu.engine import evaluator as EV
+    from laff_tpu.eval import metrics as M
+    from laff_tpu.ops.pallas_kernels import flatten_heads
+
+    rng = np.random.default_rng(3)
+    n_vis, caps_per, heads, dim = 37, 3, 2, 8
+    vis = rng.normal(size=(n_vis, heads, dim)).astype(np.float32)
+    vis[5] = vis[9]
+    vis[20] = vis[9]  # duplicated vectors -> exact ties in every row
+    vis_ids = [f"v{i}" for i in range(n_vis)]
+    txt_ids = [f"v{i}#{j}" for i in range(n_vis) for j in range(caps_per)]
+    txt = rng.normal(size=(len(txt_ids), heads, dim)).astype(np.float32)
+
+    class FakeEmbedder:
+        variables = None
+
+        def _vis(self, variables, batch):
+            return jnp.asarray(batch["feat"])
+
+    feed = EvalFeed(
+        vis_ids,
+        lambda ids: {"feat": np.stack([vis[int(i[1:])] for i in ids])},
+        batch_size=8,
+    )
+    out = EV.streaming_benchmark_eval(
+        FakeEmbedder(), jnp.asarray(txt), txt_ids, feed, topk=10
+    )
+
+    # oracle scores from the SAME per-block matmuls the streaming path
+    # runs (a single full-width gemm can differ in f32 last bits, which
+    # flips tie-adjacent ranks — the ties themselves, being duplicated
+    # columns, stay exact either way)
+    tn = flatten_heads(jnp.asarray(txt))
+    scores = np.concatenate(
+        [
+            np.asarray(
+                EV._flat_scores_block(
+                    tn, flatten_heads(jnp.asarray(vis[s : s + 8])), heads
+                )
+            )
+            for s in range(0, n_vis, 8)
+        ],
+        axis=1,
+    )
+
+    # direct numpy oracle of the framework's canonical tie rule
+    # (larger index first, ranks_from_scores_device semantics; the
+    # reference's np.argsort quicksort tie order is arbitrary, so exact
+    # ties have no reference-defined order to match)
+    def rank_of(row, col):
+        s = row[col]
+        return 1 + int((row > s).sum()) + int(
+            ((row == s) & (np.arange(len(row)) > col)).sum()
+        )
+
+    t2v_ranks = np.asarray(
+        [rank_of(scores[q], int(txt_ids[q].split("#")[0][1:]))
+         for q in range(len(txt_ids))]
+    )
+    np.testing.assert_array_equal(out["t2v_ranks"], t2v_ranks)
+    np.testing.assert_allclose(out["t2v"], M.metrics_from_ranks(t2v_ranks),
+                               rtol=1e-6, atol=1e-8)
+
+    v2t_lists = []
+    for v in range(n_vis):
+        row = scores[:, v]
+        pos = sorted(
+            rank_of(row, q) for q in range(len(txt_ids))
+            if txt_ids[q].split("#")[0] == f"v{v}"
+        )
+        v2t_lists.append(np.asarray(pos))
+    np.testing.assert_allclose(
+        out["v2t"], EV.metrics_from_positive_ranks(v2t_lists),
+        rtol=1e-6, atol=1e-8,
+    )
+    vals, _ = jax.lax.top_k(jnp.asarray(scores), 10)
+    np.testing.assert_array_equal(out["topk_vals"], np.asarray(vals))
 
 
 def test_predict_concept_rerank(trained_world):
