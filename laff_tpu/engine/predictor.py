@@ -579,10 +579,15 @@ def main(opt: PredictOptions) -> Dict:
                 query_set, t2v[0], t2v[1], t2v[2], t2v[3], t2v[5],
             )
             if opt.each_head and txt_embs.ndim == 3 and vis_embs is not None:
+                # per-space artifacts (reference get_multi_predict_file,
+                # predictor.py:290-405). The reference overwrites ONE
+                # perf.txt / id.sent.score.txt per head so only the last
+                # head's dump survives; we name every artifact by head.
                 from ..eval.metrics import eval_t2v
 
                 head_scores = per_head_scores(txt_embs, vis_embs)
                 per_head = []
+                perf_blocks = []
                 for h in range(head_scores.shape[0]):
                     m = eval_t2v(head_scores[h], txt_ids, vis_ids)
                     per_head.append(m)
@@ -591,6 +596,20 @@ def main(opt: PredictOptions) -> Dict:
                                      f"head{h}_" + result_name),
                         opt.model_path + "\t" + coll, parm_adjust, m,
                     )
+                    r1, r5, r10, medr, meanr, mir, mAP = m
+                    perf_blocks.append(
+                        f" * Text to video head{h}:\n"
+                        f" * r_1_5_10: {[round(r1, 3), round(r5, 3), round(r10, 3)]}\n"
+                        f" * medr, meanr, mir: "
+                        f"{[round(medr, 3), round(meanr, 3), round(mir, 3)]}\n"
+                        f" * mAP: {round(mAP, 3)}\n * " + "-" * 10
+                    )
+                    write_rank_dump(
+                        os.path.join(output_dir, f"head{h}.id.sent.score.txt"),
+                        head_scores[h], txt_ids, vis_ids,
+                    )
+                with open(os.path.join(output_dir, "perf.txt"), "w") as fh:
+                    fh.write("\n".join(perf_blocks) + "\n")
                 results[query_set]["per_head"] = per_head
         else:
             write_rank_dump(

@@ -90,6 +90,43 @@ def test_predict_avs_style_dump(trained_world, monkeypatch):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_predict_each_head_artifacts(trained_world):
+    """--each_head writes per-space TSV rows AND per-head artifacts:
+    perf.txt + full headN.id.sent.score.txt rank dumps (reference
+    get_multi_predict_file, predictor.py:290-405 — which overwrites one
+    file per head; we keep every head's dump)."""
+    root, model_path = trained_world
+    opt = PredictOptions(
+        testCollection="toytest",
+        model_path=os.path.join(model_path, "model_best.pth.tar"),
+        sim_name="head_run",
+        rootpath=root,
+        query_sets="toytest.caption.txt",
+        predict_result_file=os.path.join(root, "result_log", "head.txt"),
+        batch_size=16,
+        each_head=1,
+    )
+    results = predict_main(opt)
+    per_head = results["toytest.caption.txt"]["per_head"]
+    assert len(per_head) == 4  # tiny config heads
+
+    outdir = os.path.join(root, "toytest", "SimilarityIndex",
+                          "toytest.caption.txt", "head_run")
+    perf = open(os.path.join(outdir, "perf.txt")).read()
+    assert "head0" in perf and "head3" in perf and "mAP" in perf
+    for h in range(4):
+        lines = open(
+            os.path.join(outdir, f"head{h}.id.sent.score.txt")
+        ).read().strip().split("\n")
+        assert len(lines) == 40  # 20 videos x 2 captions
+        scores = [float(s) for s in lines[0].split()[2::2]]
+        assert scores == sorted(scores, reverse=True)
+        assert os.path.exists(os.path.join(
+            root, "result_log", "TextToVideo", f"head{h}_head.txt"))
+    # the heads are genuinely distinct spaces
+    assert len({tuple(np.round(m, 6)) for m in per_head}) > 1
+
+
 def test_predict_negation_scoring(trained_world):
     """--task3_caption activates boolean negation scoring: a query whose
     negated clause matches video B demotes B relative to the plain run
