@@ -269,6 +269,27 @@ def embed_negation_split(embedder, txt_feed, tsrc, txt_ids):
     if not mask.any():
         return None, None, mask
 
+    from ..data.feed import TextBatcher
+
+    live = [
+        name for name, t2v in batcher.featurizers.items()
+        if name not in TextBatcher._PRECOMPUTED_KEYS
+        or (t2v is not None
+            and (getattr(t2v, "emit_tokens", False)
+                 or hasattr(t2v, "encode_batch")))
+    ]
+    if not live:
+        logger.warning(
+            "NEGATION SCORING IS INERT: every text modality (%s) is a "
+            "precomputed feature store keyed by cap_id, so the synthesized "
+            "positive/negated clauses reuse the full query's rows and the "
+            "negation adjustment carries no signal. Add a live text encoder "
+            "(bow/w2v/gru, in-graph BERT, or a StrongCLIP text tower) to "
+            "make --task3_caption effective (reference drops precomputed "
+            "CLIP in its task3 loaders, data_provider.py:517-518).",
+            ", ".join(sorted(batcher.featurizers)),
+        )
+
     def clause_feed(clause_by_id):
         def clause_batcher(cap_ids):
             return batcher.encode_captions(

@@ -343,6 +343,16 @@ def load_torch_checkpoint(path: str) -> Dict:
     _alias_reference_modules()
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     config = ckpt["config"]
+    if getattr(config, "txt_fc_same_with_vis_fc", False):
+        logger.warning(
+            "checkpoint config sets txt_fc_same_with_vis_fc=True: the "
+            "reference's multi-head tie is a silent no-op (a throwaway "
+            "dict(named_modules()) assignment), so this checkpoint was "
+            "trained with UNTIED towers and imports as such. laff_tpu "
+            "implements the documented tying intent for its own training, "
+            "so a repo-trained tied model is NOT bit-compatible with this "
+            "import (see MIGRATING.md)."
+        )
     spec = spec_from_reference_config(config, state_dict=ckpt["model"])
     params, stats, schedule = convert_state_dict(ckpt["model"], spec)
     opt = ckpt.get("opt")

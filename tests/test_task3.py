@@ -37,11 +37,13 @@ def task3_world(tmp_path):
 def test_task3_training_runs_and_learns(task3_world):
     opt = Options(
         trainCollection="toytrain", valCollection="toyval", rootpath=task3_world,
-        val_set="no", config_name="tiny", num_epochs=6, batch_size=12,
+        val_set="no", config_name="tiny", num_epochs=16, batch_size=12,
         model_prefix="run_t3", metric="mir", task3_caption="false",
     )
     result = train_main(opt)
     # above the random-baseline mir (~H(12)/12 = 0.26) after training
+    # (16 epochs: the torch-matched initializers learn slower than flax
+    # defaults on this 24-video world — 0.23@6ep vs 0.30@16ep)
     assert result["best_perf"] > 0.26, result
     assert os.path.exists(os.path.join(result["model_path"], "model_best.pth.tar"))
 
@@ -95,3 +97,102 @@ def test_negation_adjusted_scores(rng):
     np.testing.assert_allclose(out[0], expected0, rtol=1e-6)
     out_mul = negation_adjusted_scores(scores, neg_scores, mask, method="mul")
     assert out_mul.shape == scores.shape
+
+
+def test_negation_inert_warning_with_precomputed_only_text(tmp_path, caplog):
+    """With precomputed-only text configs the synthesized clauses reuse the
+    query's own feature rows (no clause signal): embed_negation_split must
+    warn LOUDLY and the pos/neg embeddings must be identical (the inert
+    deviation documented vs reference data_provider.py:517-518)."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from laff_tpu.data.feed import EvalFeed, TextBatcher
+    from laff_tpu.engine.predictor import embed_negation_split
+
+    cap_path = tmp_path / "caps.txt"
+    cap_path.write_text(
+        "video1#0 a man not wearing a hat\nvideo2#0 a dog runs\n"
+    )
+
+    rng = np.random.default_rng(0)
+    rows = {f"video{i}#0": rng.normal(size=8).astype(np.float32)
+            for i in (1, 2)}
+
+    class FakeBigFile:
+        def gather(self, cap_ids):
+            return list(cap_ids), np.stack([rows[c] for c in cap_ids])
+
+    from laff_tpu.data.sources import TextSource
+
+    tsrc = TextSource(str(cap_path), precomputed={"CLIP_encoding": FakeBigFile()})
+    batcher = TextBatcher(tsrc, featurizers={"clip": None})
+    txt_ids = tsrc.cap_ids
+    feed = EvalFeed(txt_ids, batcher, batch_size=2)
+
+    class FakeEmbedder:
+        def embed_txt(self, f):
+            chunks, ids = [], []
+            for item in f:
+                chunks.append(item["data"]["clip"][: item["valid"]])
+                ids.extend(item["ids"])
+            return jnp.asarray(np.concatenate(chunks)), ids
+
+    import laff_tpu.engine.predictor as P
+
+    P.logger.addHandler(caplog.handler)  # laff_tpu loggers don't propagate
+    try:
+        with caplog.at_level(logging.WARNING):
+            pos, neg, mask = embed_negation_split(
+                FakeEmbedder(), feed, tsrc, txt_ids)
+    finally:
+        P.logger.removeHandler(caplog.handler)
+    assert mask.tolist() == [1.0, 0.0]
+    assert any("NEGATION SCORING IS INERT" in r.message for r in caplog.records)
+    # no live modality: both clauses gather the same query rows
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(neg))
+
+
+def test_negation_not_inert_with_live_text(tmp_path, caplog):
+    """A live modality (bow) suppresses the inert warning."""
+    import logging
+
+    import jax.numpy as jnp
+
+    from laff_tpu.data.feed import EvalFeed, TextBatcher
+    from laff_tpu.data.sources import TextSource
+    from laff_tpu.engine.predictor import embed_negation_split
+    from laff_tpu.text.txt2vec import BowVec
+    from laff_tpu.text.vocab import build_vocab
+
+    cap_path = tmp_path / "caps.txt"
+    cap_path.write_text(
+        "video1#0 a man not wearing a hat\nvideo2#0 a dog runs\n"
+    )
+    vocab, _ = build_vocab(str(cap_path), "bow", threshold=1)
+    tsrc = TextSource(str(cap_path))
+    batcher = TextBatcher(tsrc, featurizers={"bow": BowVec(vocab)})
+    txt_ids = tsrc.cap_ids
+    feed = EvalFeed(txt_ids, batcher, batch_size=2)
+
+    class FakeEmbedder:
+        def embed_txt(self, f):
+            chunks, ids = [], []
+            for item in f:
+                chunks.append(item["data"]["bow"][: item["valid"]])
+                ids.extend(item["ids"])
+            return jnp.asarray(np.concatenate(chunks)), ids
+
+    import laff_tpu.engine.predictor as P
+
+    P.logger.addHandler(caplog.handler)
+    try:
+        with caplog.at_level(logging.WARNING):
+            pos, neg, mask = embed_negation_split(
+                FakeEmbedder(), feed, tsrc, txt_ids)
+    finally:
+        P.logger.removeHandler(caplog.handler)
+    assert not any("INERT" in r.message for r in caplog.records)
+    # live bow encodes the clauses distinctly
+    assert not np.array_equal(np.asarray(pos), np.asarray(neg))
