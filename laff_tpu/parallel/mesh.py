@@ -37,7 +37,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         or os.environ.get("COORDINATOR_ADDRESS")
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
     )
-    if want_init and jax.process_count() == 1:
+    # NB: jax.process_count() would initialise the XLA backend, after which
+    # jax.distributed.initialize refuses to run — check the distributed
+    # service state instead of the backend
+    if want_init and not jax.distributed.is_initialized():
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
