@@ -191,6 +191,22 @@ def t2v_ranks(
     return ranks
 
 
+def _embed_block(embedder: Embedder, data: Dict) -> jnp.ndarray:
+    """One gallery block through the vis tower, honoring the embedder's
+    bf16 host cast and mesh sharding exactly like the cached path."""
+    from ..data import host_cast_bf16
+
+    if getattr(embedder, "_vis_bf16", False):
+        data = host_cast_bf16(data)
+    if getattr(embedder, "mesh", None) is not None:
+        from ..parallel import shard_batch
+
+        dev = shard_batch(data, embedder.mesh)
+    else:
+        dev = {k: jnp.asarray(v) for k, v in data.items()}
+    return embedder._vis(embedder.variables, dev)
+
+
 def score_matrix_streaming(
     embedder: Embedder,
     txt_embs: jnp.ndarray,
@@ -207,10 +223,7 @@ def score_matrix_streaming(
     blocks = []
     vis_ids: List[str] = []
     for item in Prefetcher(iter(vis_feed), depth=2):
-        emb = embedder._vis(
-            embedder.variables,
-            {k: jnp.asarray(v) for k, v in item["data"].items()},
-        )
+        emb = _embed_block(embedder, item["data"])
         emb = emb[: item["valid"]]
         vn = flatten_heads(emb)
         blocks.append(np.asarray(_flat_scores_block(tn, vn, heads)))
@@ -341,10 +354,7 @@ def streaming_benchmark_eval(
     def blocks():
         col = 0
         for item in Prefetcher(iter(vis_feed), depth=2):
-            emb = embedder._vis(
-                embedder.variables,
-                {k: jnp.asarray(v) for k, v in item["data"].items()},
-            )
+            emb = _embed_block(embedder, item["data"])
             emb = emb[: item["valid"]]
             vn = flatten_heads(emb)
             S = _flat_scores_block(tn, vn, heads)

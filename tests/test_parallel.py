@@ -191,6 +191,17 @@ def test_predictor_data_parallel_matches_single(tmp_path, mesh):
     sharded = run("dp8", 8)
     np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
 
+    # streaming large-gallery metrics under the mesh: gallery blocks go
+    # through the same shard_batch path as the cached embed
+    import laff_tpu.engine.predictor as P
+
+    try:
+        P.LARGE_GALLERY, saved = 5, P.LARGE_GALLERY
+        streamed = run("dp8_stream", 8)
+    finally:
+        P.LARGE_GALLERY = saved
+    np.testing.assert_allclose(streamed, single, rtol=1e-5, atol=1e-6)
+
 
 def test_do_trainer_cli_data_parallel(tmp_path):
     """do_trainer --data_parallel N builds the mesh and trains sharded."""
