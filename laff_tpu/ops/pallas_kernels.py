@@ -304,7 +304,28 @@ def fused_gate_attention(
     block_b: int = 512,
 ) -> jnp.ndarray:
     """Fused multi-head LAFF gate: logits -> softmax over L -> weighted sum
-    -> mean residual -> per-head l2norm, one VMEM-resident pass."""
+    -> mean residual -> per-head l2norm, one VMEM-resident pass.
+
+    DECISION RECORD (VERDICT r2 item 4): reference/interpret-mode ONLY —
+    not wired into FusionTower, measured and retired for TPU.
+
+    * Real TPU Mosaic refuses to lower the kernel at flagship dims
+      (L=4, H=8, dh=512, any batch): the (B, L, H) `vector.
+      multi_reduction` over the middle dim fails with "Unsupported
+      output implicit dimension" (tile layouts want the lane axis to be
+      the large trailing dim; H=8 and L=4 are both sub-lane). The CPU
+      test parity (tests/test_pallas.py) runs in interpret mode.
+    * The flax gate (models/attention.py:MultiHeadGateAttention), fully
+      XLA-fused, measures 32.6 us/application at train batch 128,
+      1.02 ms at eval batch 2048, 5.7 ms at 8192 on the v5e chip
+      (shell/bench_gate.py, scan-amplified single-dispatch timing) —
+      bandwidth-bound and a negligible slice of the step either way.
+    * A Mosaic-compatible rewrite would need per-L 2-D tiles with
+      segment reductions across the head axis; there is no HBM traffic
+      for it to save over XLA's fusion, so it cannot win materially.
+
+    Kept as an executable specification of the fused gate semantics and
+    for interpret-mode cross-checks of the flax module."""
     b, l, h, dh = x.shape
     bp = _round_up(max(b, 8), min(block_b, _round_up(b, 8)))
     block = min(block_b, bp)

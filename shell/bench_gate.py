@@ -96,19 +96,22 @@ def main():
     batches = (128,) if args.cpu else (128, 2048, 8192)
     for batch in batches:
         x = jnp.asarray(rng.normal(size=(batch, L, h, dh)).astype(np.float32))
-        row = {"batch": batch}
+        row = {}
         for name, fn in (("flax_xla", flax_gate), ("pallas", pallas_gate)):
             run = scan_wrap(fn, R)
-            wall = timed(run, x, kernel, bias)
-            dev_us = max(wall - rtt, 0.0) / R * 1e6
-            row[name] = dev_us
-        ratio = row["pallas"] / max(row["flax_xla"], 1e-9)
-        print(
-            f"B={batch:5d} L={L} H={h} dh={dh}: "
-            f"flax/XLA {row['flax_xla']:8.1f} us/app   "
-            f"pallas {row['pallas']:8.1f} us/app   "
-            f"pallas/xla = {ratio:.2f}x"
-        )
+            try:
+                wall = timed(run, x, kernel, bias)
+                row[name] = max(wall - rtt, 0.0) / R * 1e6
+                print(f"B={batch:5d} L={L} H={h} dh={dh} {name:9s}: "
+                      f"{row[name]:8.1f} us/app", flush=True)
+            except Exception as e:
+                msg = str(e).splitlines()[0][:120]
+                print(f"B={batch:5d} L={L} H={h} dh={dh} {name:9s}: "
+                      f"FAILED ({type(e).__name__}: {msg})", flush=True)
+        if "flax_xla" in row and "pallas" in row:
+            print(f"B={batch:5d} pallas/xla = "
+                  f"{row['pallas'] / max(row['flax_xla'], 1e-9):.2f}x",
+                  flush=True)
 
 
 if __name__ == "__main__":
