@@ -114,11 +114,12 @@ def main():
     state, loss = train_step(state, txt_d, vis_d, key)
     float(loss)
 
-    # RTT
+    # RTT (warm well; tunnel jitter is several ms, so take min of many)
     nullf = jax.jit(lambda x: x + 1.0)
-    np.asarray(nullf(jnp.zeros(8)))
+    for _ in range(3):
+        np.asarray(nullf(jnp.zeros(8)))
     rtts = []
-    for _ in range(5):
+    for _ in range(12):
         t0 = time.perf_counter()
         np.asarray(nullf(jnp.zeros(8)))
         rtts.append(time.perf_counter() - t0)
@@ -132,20 +133,25 @@ def main():
         lv = float(loss)  # sync through the tunnel
         times.append(time.perf_counter() - t0)
     wall = min(times)
-    device = max(wall - rtt, 0.02 * wall)
+    device = wall - rtt
     flops = step_flops(spec, batch, max_len)
     compute_dtype = spec.txt.compute_dtype
     peak = PEAK_BF16 if compute_dtype == "bfloat16" else PEAK_F32
+    # when the step's device time is small vs tunnel jitter, wall - rtt is
+    # not a measurement — say so instead of inventing a floor (the --cached
+    # K-step scan is the reliable device-time probe in that regime)
+    rtt_bound = device < 0.15 * wall
     out = {
         "metric": "flagship_train_step",
         "batch": batch,
         "wall_ms": round(wall * 1e3, 2),
         "rtt_ms": round(rtt * 1e3, 2),
-        "device_ms": round(device * 1e3, 2),
+        "device_ms": None if rtt_bound else round(device * 1e3, 2),
+        "device_time_rtt_bound": rtt_bound,
         "flops_per_step": round(flops / 1e9, 2),
         "compute_dtype": compute_dtype,
-        "mfu": round(flops / device / peak, 4),
-        "steps_per_sec_device": round(1.0 / device, 1),
+        "mfu": None if rtt_bound else round(flops / device / peak, 4),
+        "steps_per_sec_device": None if rtt_bound else round(1.0 / device, 1),
         "steps_per_sec_wall": round(1.0 / wall, 1),
         "loss": round(lv, 3),
     }
