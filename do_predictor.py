@@ -36,6 +36,9 @@ def parse_args(argv=None):
                              "(batch_size must divide by N)")
     parser.add_argument("--each_head", type=int, default=0, choices=[0, 1],
                         help="also dump per-space (per-head) metrics")
+    parser.add_argument("--int8_gallery", type=int, default=0, choices=[0, 1],
+                        help="large AVS galleries: int8 HBM nomination + "
+                             "exact candidate re-embedding (2x shots/chip)")
     parser.add_argument("--rerank", type=str, default="none",
                         choices=["none", "kreciprocal", "tkb", "concept"],
                         help="post-processing re-ranking of the score matrix")

@@ -60,6 +60,9 @@ class PredictOptions:
     task3_caption: str = "no_task3_caption"  # != default: boolean negation scoring
     neg_method: str = "sub"     # negation adjustment: sub | mul
     data_parallel: int = 0      # shard eval batches over an N-device mesh
+    int8_gallery: int = 0       # large AVS galleries: int8 HBM nomination
+                                # + exact candidate re-embedding (2x shots
+                                # per chip vs streaming host scores)
     each_head: int = 0          # also dump per-space (per-head) metrics
     rerank: str = "none"        # none | kreciprocal | tkb | concept
     # concept re-ranking inputs (reference predict_concept_rerank,
@@ -507,6 +510,21 @@ def main(opt: PredictOptions) -> Dict:
                 )
                 vis_ids = streaming_eval["vis_ids"]
                 scores, vis_embs = None, None
+            elif (opt.int8_gallery and not is_benchmark
+                    and opt.rerank == "none"
+                    and opt.task3_caption == "no_task3_caption"
+                    and measure == "cosine"):
+                # AVS serving at 2x gallery capacity: int8 HBM gallery
+                # nominates, only candidate videos are re-embedded for
+                # exact dump scores (laff_tpu.ops.quantized)
+                from .evaluator import int8_streaming_topk
+
+                i8_vals, i8_idx, vis_ids = int8_streaming_topk(
+                    embedder, txt_embs, vis_feed, k=2000
+                )
+                streaming_eval = {"topk_idx": i8_idx, "topk_vals": i8_vals,
+                                  "vis_ids": vis_ids, "int8": True}
+                scores, vis_embs = None, None
             else:
                 # AVS-scale gallery (or rerank/negation needing full
                 # scores over few queries): stream blocks, never cache
@@ -633,12 +651,25 @@ def main(opt: PredictOptions) -> Dict:
                     fh.write("\n".join(perf_blocks) + "\n")
                 results[query_set]["per_head"] = per_head
         else:
+            i8 = streaming_eval if (
+                streaming_eval is not None and streaming_eval.get("int8")
+            ) else None
             write_rank_dump(
                 None, scores, txt_ids, vis_ids,
                 pkl_path=os.path.join(output_dir, "t2v.pkl"),
                 captions=tsrc.captions, threshold=500,
+                topk_rankings=(
+                    (i8["topk_idx"][:, :500], i8["topk_vals"][:, :500])
+                    if i8 is not None else None
+                ),
             )
-            write_rank_dump(pred_result_file, scores, txt_ids, vis_ids)
+            write_rank_dump(
+                pred_result_file, scores, txt_ids, vis_ids,
+                topk_rankings=(
+                    (i8["topk_idx"], i8["topk_vals"])
+                    if i8 is not None else None
+                ),
+            )
             logger.info("wrote %s", pred_result_file)
             results[query_set] = {"score_file": pred_result_file}
 

@@ -90,6 +90,40 @@ def test_predict_avs_style_dump(trained_world, monkeypatch):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_predict_int8_gallery_avs_dump(trained_world, monkeypatch):
+    """--int8_gallery on a large AVS gallery: int8 HBM nomination + exact
+    candidate re-embedding produces the same ranking dump as the exact
+    streaming path (the margin covers this toy gallery fully)."""
+    root, model_path = trained_world
+    import laff_tpu.engine.predictor as P
+
+    monkeypatch.setattr(P, "AVS_COLLECTIONS", ("toytest",))
+    monkeypatch.setattr(P, "LARGE_GALLERY", 5)
+
+    def run(sim_name, int8):
+        opt = PredictOptions(
+            testCollection="toytest",
+            model_path=os.path.join(model_path, "model_best.pth.tar"),
+            sim_name=sim_name, rootpath=root,
+            query_sets="toytest.caption.txt", batch_size=8,
+            overwrite=1, int8_gallery=int8,
+        )
+        score_file = P.main(opt)["toytest.caption.txt"]["score_file"]
+        out = {}
+        for line in open(score_file).read().strip().split("\n"):
+            parts = line.split()
+            out[parts[0]] = (parts[1::2], [float(s) for s in parts[2::2]])
+        return out
+
+    exact = run("avs_exact", 0)
+    quant = run("avs_int8", 1)
+    assert set(exact) == set(quant)
+    for tid in exact:
+        assert exact[tid][0] == quant[tid][0], tid  # same ranking order
+        np.testing.assert_allclose(quant[tid][1], exact[tid][1],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_predict_each_head_artifacts(trained_world):
     """--each_head writes per-space TSV rows AND per-head artifacts:
     perf.txt + full headN.id.sent.score.txt rank dumps (reference
@@ -260,6 +294,55 @@ def test_streaming_gallery_path(trained_world, monkeypatch):
     for tid in d1:
         np.testing.assert_allclose(d1[tid]["sim_value"], d2[tid]["sim_value"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_int8_streaming_topk_matches_exact():
+    """int8_streaming_topk with a real nomination cut (C << V): the
+    returned top-k equals the dense exact top-k, scores on the
+    mean-of-cosines scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from laff_tpu.data.feed import EvalFeed
+    from laff_tpu.engine import evaluator as EV
+    from laff_tpu.ops.pallas_kernels import flatten_heads
+
+    rng = np.random.default_rng(11)
+    n_vis, heads, dim = 500, 2, 16
+    vis = rng.standard_normal((n_vis, heads, dim)).astype(np.float32)
+    txt = rng.standard_normal((40, heads, dim)).astype(np.float32)
+    vis_ids = [f"v{i}" for i in range(n_vis)]
+
+    class FakeEmbedder:
+        variables = None
+
+        def _vis(self, variables, batch):
+            return jnp.asarray(batch["feat"])
+
+        def embed_vis(self, feed):
+            chunks, ids = [], []
+            for item in feed:
+                chunks.append(jnp.asarray(
+                    batcher_rows(item["ids"]))[: item["valid"]])
+                ids.extend(item["ids"])
+            return jnp.concatenate(chunks), ids
+
+    def batcher_rows(ids):
+        return np.stack([vis[int(i[1:])] for i in ids])
+
+    feed = EvalFeed(vis_ids, lambda ids: {"feat": batcher_rows(ids)},
+                    batch_size=64)
+    vals, idx, out_ids = EV.int8_streaming_topk(
+        FakeEmbedder(), jnp.asarray(txt), feed, k=20, chunk_t=16
+    )
+    assert out_ids == vis_ids
+
+    tn = flatten_heads(jnp.asarray(txt))
+    vn = flatten_heads(jnp.asarray(vis))
+    exact = np.asarray(EV._flat_scores_block(tn, vn, heads))
+    evals, eidx = jax.lax.top_k(jnp.asarray(exact), 20)
+    np.testing.assert_array_equal(idx, np.asarray(eidx))
+    np.testing.assert_allclose(vals, np.asarray(evals), rtol=1e-5, atol=1e-6)
 
 
 def test_streaming_benchmark_eval_exact_with_ties():
