@@ -55,8 +55,11 @@ def inject_equiv_config(lr, heads, common):
     """Create configs.ref_equiv inside the reference's configs package:
     a LAFF (multi-space) config matched knob-for-knob with the repo's
     configs/tiny.py so both stacks train the same architecture."""
-    import configs  # the reference's package (REFERENCE is on sys.path)
-    import configs.base_config as base
+    # Load the REFERENCE's base_config by file path: in-process callers
+    # (run_ours_steps under pytest) may already hold the repo's root
+    # ``configs`` package in sys.modules, which would shadow the
+    # reference's and make ``import configs.base_config`` fail.
+    base = _load_reference_base_config()
 
     mod = types.ModuleType("configs.ref_equiv")
     mod.__spec__ = importlib.machinery.ModuleSpec("configs.ref_equiv", loader=None)
@@ -90,7 +93,23 @@ def inject_equiv_config(lr, heads, common):
     config.__qualname__ = "config"
     mod.config = config
     sys.modules["configs.ref_equiv"] = mod
-    configs.ref_equiv = mod
+    # attach to whichever ``configs`` package is live so the reference's
+    # ``importlib.import_module('configs.ref_equiv')`` (trainer.py:24-26)
+    # resolves in the fresh-subprocess case
+    if "configs" in sys.modules:
+        sys.modules["configs"].ref_equiv = mod
+
+
+def _load_reference_base_config():
+    """Import ``<REFERENCE>/configs/base_config.py`` under a private name,
+    immune to a same-named repo package already in sys.modules."""
+    import importlib.util
+
+    path = os.path.join(REFERENCE, "configs", "base_config.py")
+    spec = importlib.util.spec_from_file_location("_ref_base_config", path)
+    base = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(base)
+    return base
 
 
 def build_reference_vocabs(rootpath, train):
