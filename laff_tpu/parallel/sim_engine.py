@@ -134,3 +134,60 @@ def sharded_topk(
     )
     vals, idx = jax.jit(fn)(tn, vn)
     return np.asarray(vals), np.asarray(idx)
+
+
+def sharded_int8_topk(
+    txt: jnp.ndarray,
+    vis_q: jnp.ndarray,
+    vis_scale: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    axis: str = "dp",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Global top-k nomination over an int8 gallery sharded by rows:
+    2x the shots per chip (vs bf16) x n_devices chips.
+
+    txt: (T, H, d) or (T, D) full-precision, replicated (quantized here);
+    vis_q: (V, H*d) int8 rows, sharded over ``axis``; vis_scale: (V,) f32
+    per-row scales, sharded alike (both from ``ops.quantized.quantize_rows``
+    on the flattened-head embeddings). Per shard the int8 MXU scores its
+    rows, takes a local top-k, and only k rows per device ride the
+    interconnect (all_gather + merge), exactly like ``sharded_topk``.
+
+    Returned scores are int8-approximate (~1e-2 on unit-norm cosines) —
+    the serving flow re-embeds the returned candidates for exact scores
+    (``engine.evaluator.int8_streaming_topk`` single-chip analog). The
+    reference has no quantized or distributed path (its gallery scaling
+    is host batching, ``model/model.py:1081-1128``)."""
+    from ..ops.quantized import int8_scores, quantize_rows
+
+    n = mesh.shape[axis]
+    tn = flatten_heads(txt)
+    v_real = vis_q.shape[0]
+    vis_q, vp = _pad_gallery(vis_q, n)
+    vis_scale = jnp.pad(vis_scale, (0, vp - v_real))
+    shard = vp // n
+    k_local = min(k, shard)
+
+    def local_topk(tq, ts, vq_local, vs_local):
+        idx = jax.lax.axis_index(axis)
+        col0 = idx * shard
+        scores = int8_scores(tq, ts, vq_local, vs_local)
+        col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col_ids < v_real, scores, -jnp.inf)
+        vals, local_idx = jax.lax.top_k(scores, k_local)
+        gidx = local_idx + col0
+        all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+        fvals, fpos = jax.lax.top_k(all_vals, min(k, k_local * n))
+        fidx = jnp.take_along_axis(all_idx, fpos, axis=1)
+        return fvals, fidx
+
+    fn = jax.shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)), out_specs=(P(), P()),
+        check_vma=False,  # outputs are replicated by construction (all_gather)
+    )
+    tq, ts = quantize_rows(tn)
+    vals, idx = jax.jit(fn)(tq, ts, vis_q, vis_scale)
+    return np.asarray(vals), np.asarray(idx)

@@ -57,6 +57,40 @@ def test_sharded_topk_matches_global(rng, mesh):
         assert set(idx[q]) == set(expected_idx)
 
 
+def test_sharded_int8_topk_matches_dense_int8(rng, mesh):
+    """sharded_int8_topk == dense int8 nomination (same quantization, so
+    the sharded mechanics — padding, masking, gather/merge — are exact),
+    and the int8 cut nominates the true exact top-k at 1.5x margin."""
+    from laff_tpu.ops.quantized import int8_scores, quantize_rows
+    from laff_tpu.parallel.sim_engine import sharded_int8_topk
+
+    t, v, h, d = 12, 203, 2, 16  # v deliberately not divisible by 8
+    txt = jnp.asarray(rng.standard_normal((t, h, d)).astype(np.float32))
+    vis = jnp.asarray(rng.standard_normal((v, h, d)).astype(np.float32))
+    k = 15
+
+    vn = flatten_heads(vis)
+    vq, vscale = quantize_rows(vn)
+    vals, idx = sharded_int8_topk(txt, vq, vscale, k, mesh)
+    assert vals.shape == (t, k) and idx.shape == (t, k)
+
+    tn = flatten_heads(txt)
+    tq, tscale = quantize_rows(tn)
+    dense = np.asarray(int8_scores(tq, tscale, vq, vscale))
+    exact = np.asarray(tn @ vn.T)
+    for q in range(t):
+        expected = np.argsort(dense[q])[::-1][:k]
+        assert set(idx[q]) == set(expected)
+        np.testing.assert_allclose(
+            np.sort(vals[q])[::-1], np.sort(dense[q][expected])[::-1],
+            rtol=1e-6,
+        )
+        # serving guarantee: the 1.5x-margin int8 cut covers the exact
+        # top-10 (what int8_streaming_topk rescores downstream)
+        exact_top10 = set(np.argsort(exact[q])[::-1][:10])
+        assert exact_top10 <= set(idx[q])
+
+
 def test_sharded_train_step_matches_single_device(rng, mesh):
     """Data-parallel gradient step == single-device step on the same batch
     (GSPMD all-gathers the in-batch negatives)."""
