@@ -217,3 +217,37 @@ def test_retrieval_task_parallel_jobs(tmp_path):
         d = os.path.join(root, "toytrain", "w2vvpp_train", "toyval", "tiny",
                          f"runs_None_seed_{seed}")
         assert os.path.exists(os.path.join(d, "model_best.pth.tar")), d
+
+
+def test_all_run_multi_dataset(tmp_path):
+    """shell/all_run.py loops dataset triples through retrieval_task
+    (reference laff_AllRun.sh:31-45), appending to one result file."""
+    import sys
+
+    from helpers import build_collection, build_w2v
+
+    root = str(tmp_path)
+    for name, n in (("dsAtrain", 24), ("dsAval", 12), ("dsAtest", 12),
+                    ("dsBtrain", 24), ("dsBval", 12), ("dsBtest", 12)):
+        build_collection(root, name, n_videos=n, caps_per_video=2, seed=hash(name) % 100)
+    build_w2v(root)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "shell"))
+    import all_run
+
+    result_file = os.path.join(root, "result_log", "allrun.txt")
+    rc = all_run.main([
+        "--rootpath", root,
+        "--datasets", "dsAtrain:dsAval:dsAtest,dsBtrain:dsBval:dsBtest",
+        "--config", "tiny", "--parm_adjust_configs", "None",
+        "--num_epochs", "2", "--batch_size", "12",
+        "--result_file", result_file,
+    ])
+    assert rc == 0
+    for train, val in (("dsAtrain", "dsAval"), ("dsBtrain", "dsBval")):
+        d = os.path.join(root, train, "w2vvpp_train", val, "tiny",
+                         "runs_None_seed_2")
+        assert os.path.exists(os.path.join(d, "model_best.pth.tar")), d
+    t2v_log = os.path.join(root, "result_log", "TextToVideo", "allrun.txt")
+    rows = open(t2v_log).read().strip().split("\n")
+    assert len(rows) >= 2  # one appended metric row per dataset
