@@ -150,3 +150,40 @@ def test_evaluate_xml_end_to_end(tmp_path):
     inf_ap = evaluate_xml(xml, qrels, overwrite=True)
     assert inf_ap > 0.95  # top-3 are the relevant ones
     assert os.path.exists(xml + "_perf.txt")
+
+
+def test_do_eval_cli_chain(tmp_path):
+    """tv_avs_eval/do_eval.py resolves the predictor's dump layout and runs
+    the full score->XML->infAP chain (reference do_eval.sh:8-22)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path)
+    sim_dir = os.path.join(root, "toyavs", "SimilarityIndex", "tv18.avs.txt",
+                           "runs_demo")
+    os.makedirs(sim_dir)
+    os.makedirs(os.path.join(root, "toyavs", "TextData"))
+    lines, qrels_lines = [], []
+    for t in ("611",):
+        shots = [f"s{i}" for i in range(10)]
+        pairs = " ".join(f"{s} {0.9 - 0.05*i:.3f}" for i, s in enumerate(shots))
+        lines.append(f"{t} {pairs}")
+        for i, s in enumerate(shots):
+            qrels_lines.append(f"1{t} 0 {s} 1 {1 if i < 3 else 0}")
+    open(os.path.join(sim_dir, "id.sent.score.txt"), "w").write(
+        "\n".join(lines))
+    open(os.path.join(root, "toyavs", "TextData", "avs.qrels.tv18"),
+         "w").write("\n".join(qrels_lines))
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tv_avs_eval", "do_eval.py")
+    out = subprocess.run(
+        [sys.executable, script, "toyavs", "tv18", "runs_demo",
+         "--rootpath", root, "--overwrite", "1"],
+        capture_output=True, text=True, timeout=120,
+        env=dict(os.environ, PYTHONPATH=os.path.dirname(script) + os.pathsep
+                 + os.path.dirname(os.path.dirname(script))),
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert "tv18 infAP" in out.stdout
+    assert os.path.exists(os.path.join(sim_dir, "id.sent.score.txt.xml"))
