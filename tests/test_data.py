@@ -165,3 +165,45 @@ def test_read_video_set(collection):
     root, cdir, vids, caps, w2v_dir = collection
     got = read_video_set(os.path.join(cdir, "VideoSets", "toy.txt"))
     assert got == vids
+
+
+def test_setup_dataset_layout(tmp_path):
+    """data/setup_dataset.py unpacks an archive and symlinks the split
+    dirs onto the base collection (reference data/do_msrvtt.sh:1-18)."""
+    import subprocess
+    import sys
+    import zipfile
+
+    root = str(tmp_path / "VisualSearch")
+    # build a fake release zip: base collection with the four dirs
+    base = tmp_path / "stage" / "msvd"
+    for sub in ("FeatureData", "FrameFeatureData", "TextData", "VideoSets"):
+        (base / sub).mkdir(parents=True)
+        (base / sub / "marker.txt").write_text(sub)
+    zpath = str(tmp_path / "msvd.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _, files in os.walk(base.parent):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                zf.write(full, os.path.relpath(full, base.parent))
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "setup_dataset.py")
+    out = subprocess.run(
+        [sys.executable, script, "msvd", "--rootpath", root, "--zip", zpath],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    for split in ("msvdtrain", "msvdval", "msvdtest"):
+        for sub in ("FeatureData", "TextData", "VideoSets"):
+            marker = os.path.join(root, split, sub, "marker.txt")
+            assert os.path.exists(marker), marker
+    # frame features reachable at the loader's FeatureData/frame path
+    assert os.path.exists(os.path.join(
+        root, "msvdtrain", "FeatureData", "frame", "marker.txt"))
+    # idempotent rerun
+    out2 = subprocess.run(
+        [sys.executable, script, "msvd", "--rootpath", root],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert out2.returncode == 0, out2.stderr[-500:]
