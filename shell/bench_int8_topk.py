@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--d", type=int, default=4096)
     ap.add_argument("--k", type=int, default=1000)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--json", default=None,
+                    help="write a machine-readable artifact here")
     args = ap.parse_args()
 
     import jax
@@ -134,6 +136,24 @@ def main():
     print(f"rescored top-{K} overlap with exact: {overlap:.4f}", flush=True)
     print(f"int8-only max |score - exact| over top-{K}: {max_err:.4f} "
           f"({max_err / np.std(ev):.3f} of top-score std)", flush=True)
+
+    if args.json:
+        import json
+
+        artifact = {
+            "workload": f"AVS top-{K} over {V}-shot gallery, T={T}, D={D}",
+            "hbm_bytes": {"bf16_gallery": V * D * 2, "int8_gallery": V * D},
+            "paths": {
+                name: {"best_s": round(results[name][0], 4),
+                       "queries_per_sec": round(T / results[name][0], 1)}
+                for name in results
+            },
+            "rescored_topk_overlap_with_exact": round(float(overlap), 4),
+            "int8_only_max_abs_score_err": round(float(max_err), 4),
+        }
+        with open(args.json, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(f"wrote {args.json}", flush=True)
 
 
 if __name__ == "__main__":
