@@ -437,18 +437,30 @@ def int8_streaming_topk(
     tq, ts = quantize_rows(tn)
 
     q_quantize = jax.jit(quantize_rows)
-    vq_blocks, vs_blocks = [], []
+    # preallocate the int8 gallery and write blocks in place (donated
+    # buffers): concatenating per-block arrays at the end would briefly
+    # hold blocks + copy = 2x the int8 bytes, eroding exactly the HBM
+    # capacity headroom this path exists to provide
+    append = jax.jit(
+        lambda buf, sbuf, q, s, start: (
+            jax.lax.dynamic_update_slice_in_dim(buf, q, start, 0),
+            jax.lax.dynamic_update_slice_in_dim(sbuf, s, start, 0),
+        ),
+        donate_argnums=(0, 1),
+    )
+    vq = vs = None
+    pos = 0
     vis_ids: List[str] = []
     for item in Prefetcher(iter(vis_feed), depth=2):
         emb = _embed_block(embedder, item["data"])[: item["valid"]]
         vn = flatten_heads(emb)
         q, s = q_quantize(vn)
-        vq_blocks.append(q)
-        vs_blocks.append(s)
+        if vq is None:
+            vq = jnp.zeros((len(vis_feed), q.shape[1]), jnp.int8)
+            vs = jnp.zeros((len(vis_feed),), jnp.float32)
+        vq, vs = append(vq, vs, q, s, pos)
+        pos += int(item["valid"])
         vis_ids.extend(item["ids"])
-    vq = jnp.concatenate(vq_blocks, axis=0)
-    vs = jnp.concatenate(vs_blocks, axis=0)
-    del vq_blocks, vs_blocks
 
     v = vq.shape[0]
     k = min(k, v)

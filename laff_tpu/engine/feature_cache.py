@@ -136,11 +136,20 @@ class DeviceTxtCache:
 def estimate_txt_cache_bytes(text_batcher, cap_ids=None, bf16: bool = False,
                              probe: int = 64) -> int:
     """Bytes the text cache would occupy, from a small probe batch.
-    Token-id arrays already pad to the global max length, so
-    bytes-per-caption from the probe extrapolates linearly."""
+
+    The probe takes the LONGEST captions: most modalities pad to a fixed
+    global width, but netvlad tokens pad to the probe batch's max caption
+    length (feed.py::_netvlad_tokens) — a prefix probe would underestimate
+    the cache (built at the corpus-wide width) and admit an over-budget
+    cache into HBM."""
     caps = list(cap_ids if cap_ids is not None
                 else text_batcher.source.cap_ids)
-    sample = text_batcher(caps[: min(probe, len(caps))])
+    n_probe = min(probe, len(caps))
+    texts = getattr(text_batcher.source, "captions", None) or {}
+    caps_probe = sorted(
+        caps, key=lambda c: -len(texts.get(c, "").split())
+    )[:n_probe] if texts else caps[:n_probe]
+    sample = text_batcher(caps_probe)
     if bf16:
         sample = host_cast_bf16(sample)
     per_row = sum(

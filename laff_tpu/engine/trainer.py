@@ -717,6 +717,16 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
                 prepared.train_feed.vis_batcher, bf16=cast_vis) <= budget
         )
     if want_vis:
+        if not deterministic_feed:
+            # a forced cache must not silently override the guard: task3
+            # substitutes negation-augmented captions per epoch and random
+            # frame sampling redraws frames per epoch — an HBM cache built
+            # once would train on stale rows with no visible error
+            raise ValueError(
+                "--device_feature_cache 1 is incompatible with this feed "
+                "(task3 caption substitution / random frame sampling "
+                "changes batch contents per epoch). Use 0 or -1 (auto)."
+            )
         vis_cache = DeviceVisCache(
             prepared.train_feed.vis_batcher, bf16=cast_vis, mesh=mesh
         )
@@ -733,6 +743,12 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             ) + (vis_cache.nbytes if vis_cache else 0) <= budget
         )
     if want_txt:
+        if not deterministic_feed:
+            raise ValueError(
+                "--device_text_cache 1 is incompatible with this feed "
+                "(task3 caption substitution / random frame sampling "
+                "changes batch contents per epoch). Use 0 or -1 (auto)."
+            )
         txt_cache = DeviceTxtCache(
             prepared.train_feed.text_batcher,
             cap_ids=prepared.train_feed.cap_ids, bf16=cast_txt, mesh=mesh,

@@ -42,7 +42,7 @@ def main():
     from laff_tpu.ops.quantized import int8_scores, quantize_rows
 
     T, V, D, K = args.t, args.v, args.d, args.k
-    BLK = 1 << 16
+    BLK = min(1 << 16, V)
 
     @jax.jit
     def build_gallery(key):

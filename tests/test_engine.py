@@ -341,6 +341,45 @@ def test_train_main_with_feature_cache_and_scan(tmp_path):
     assert os.path.exists(os.path.join(result["model_path"], "model_best.pth.tar"))
 
 
+def test_txt_cache_estimate_covers_netvlad_width(tmp_path):
+    """netvlad tokens pad to the batch max caption length, so a prefix
+    probe over short captions underestimates the cache (which is built at
+    the corpus-wide width). The estimator probes the LONGEST captions and
+    must upper-bound the real cache size."""
+    from laff_tpu.data.feed import TextBatcher
+    from laff_tpu.data.sources import TextSource
+    from laff_tpu.engine.feature_cache import (
+        DeviceTxtCache, estimate_txt_cache_bytes,
+    )
+    from laff_tpu.store.bigfile import write_bigfile
+    from laff_tpu.text.txt2vec import W2Vec
+
+    words = ["dog", "cat", "man", "runs", "hat", "park", "red", "ball"]
+    w2v_dir = str(tmp_path / "w2v")
+    write_bigfile(
+        w2v_dir, words,
+        np.arange(len(words) * 4, dtype=np.float32).reshape(len(words), 4),
+    )
+    # prefix captions are 2 words; the single longest (12 words) sits last
+    lines = [f"video{i}#0 dog cat" for i in range(7)]
+    lines.append("video7#0 " + " ".join(words[i % len(words)] for i in range(12)))
+    cap_path = tmp_path / "caps.txt"
+    cap_path.write_text("\n".join(lines) + "\n")
+
+    tsrc = TextSource(str(cap_path))
+    batcher = TextBatcher(tsrc, featurizers={"netvlad": W2Vec(w2v_dir)})
+    est = estimate_txt_cache_bytes(batcher, probe=4)
+    actual = DeviceTxtCache(batcher).nbytes
+    assert est >= actual, (est, actual)
+    # the old prefix probe demonstrably underestimates on this corpus
+    prefix_sample = batcher(tsrc.cap_ids[:4])
+    prefix_per_row = sum(
+        int(a.size) * a.dtype.itemsize // a.shape[0]
+        for a in prefix_sample.values()
+    )
+    assert prefix_per_row * len(tsrc.cap_ids) < actual
+
+
 def test_device_text_featurize_matches_dense(tmp_path):
     """Sparse (ids, counts) bow + on-device scatter == dense bow path:
     encoder-level equality (incl. duplicate words and L2 norm) and
