@@ -16,6 +16,9 @@ def parse_args(argv=None):
     parser.add_argument("--rootpath", type=str, default=ROOT_PATH)
     parser.add_argument("--trainCollection2", type=str, default="None")
     parser.add_argument("--task2_caption", type=str, default="no_task2_caption")
+    parser.add_argument("--task2_intended", default=0, type=int, choices=[0, 1],
+                        help="opt-in concept-space task2 loss (the reference's "
+                             "task2 is dead code; 0 keeps effective parity)")
     parser.add_argument("--task3_caption", type=str, default="no_task3_caption")
     parser.add_argument("--train_strategy", type=str, default="usual")
     parser.add_argument("--overwrite", type=int, default=0, choices=[0, 1])

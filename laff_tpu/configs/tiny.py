@@ -18,6 +18,7 @@ class config(BaseConfig.config):
         'NetVLAD_encoding': {'name': 'noNetVLAD'},
     }
     threshold = 1
+    threshold_task2 = 1
     we_dim = 8
     rnn_size = 8
     batch_norm = True

@@ -137,16 +137,29 @@ class TextBatcher:
 
 
 class VisBatcher:
-    """vis_ids -> model-ready visual arrays (video-level + padded frames)."""
+    """vis_ids -> model-ready visual arrays (video-level + padded frames).
 
-    def __init__(self, source: VisionSource, with_frames: bool = False) -> None:
+    ``task2_labels`` (vis_id -> multi-hot concept row) rides the batch as
+    ``task2_labels`` so the HBM feature cache and the scan stacks carry it
+    like any other per-video array; videos without an object caption get
+    zeros."""
+
+    def __init__(self, source: VisionSource, with_frames: bool = False,
+                 task2_labels: Optional[Dict[str, np.ndarray]] = None) -> None:
         self.source = source
         self.with_frames = with_frames
+        self.task2_labels = task2_labels
 
     def __call__(self, vis_ids: Sequence[str]) -> Dict[str, np.ndarray]:
         batch = dict(self.source.gather(vis_ids))
         if self.with_frames:
             batch.update(self.source.gather_frames(vis_ids))
+        if self.task2_labels is not None:
+            dim = len(next(iter(self.task2_labels.values())))
+            zero = np.zeros((dim,), np.float32)
+            batch["task2_labels"] = np.stack(
+                [self.task2_labels.get(v, zero) for v in vis_ids]
+            )
         return batch
 
 

@@ -22,7 +22,10 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..data import PairFeed, TextBatcher, TextSource, VisBatcher, VisionSource, read_video_set
-from ..models.spec import AttentionSpec, GruSpec, LAFFSpec, Task3Spec, TowerSpec, TransformSpec
+from ..models.spec import (
+    AttentionSpec, GruSpec, LAFFSpec, Task2Spec, Task3Spec, TowerSpec,
+    TransformSpec,
+)
 from ..store import BigFile
 from ..text import build_vocab, get_txt2vec
 from ..text.txt2vec import IndexVec, load_vocab_pickle
@@ -89,6 +92,13 @@ class Options:
     # TPU-native extension: data-parallel training over an N-device mesh
     # (batches shard over 'dp'; GSPMD inserts the gradient collectives).
     data_parallel: int = 0
+    # OPT-IN implementation of the task2 (concept space) INTENT. The
+    # reference's task2 loss is dead code (model/model.py:884 passes
+    # literal zeros — decision record in COMPONENTS.md), so the default 0
+    # keeps effective parity: --task2_caption is accepted but inert.
+    # 1 = project both towers into the object-caption bow concept space
+    # and add the BCE + concept-triplet auxiliary loss (Task2Spec).
+    task2_intended: int = 0
 
 
 def load_config(config_name: str):
@@ -208,6 +218,7 @@ def build_spec(
     gru_spec: Optional[GruSpec],
     frame_dims: Optional[Dict[str, int]] = None,
     task3: bool = False,
+    task2: Optional["Task2Spec"] = None,
 ) -> LAFFSpec:
     """config + discovered feature dims -> frozen LAFFSpec."""
     if isinstance(config.txt_fc_layers, str):
@@ -325,6 +336,7 @@ def build_spec(
         cost_style=config.cost_style,
         loss=config.loss,
         task3=task3_spec,
+        task2=task2,
     )
 
 
@@ -486,6 +498,84 @@ def _make_text_batcher(config, featurizers, source,
                        indexed_bow=indexed_bow, indexed_w2v=indexed_w2v)
 
 
+def _prepare_task2(opt, config, rootpath, txt_dims, vis_dims):
+    """task2 (concept space) preparation. Default: effective parity with
+    the reference — the surface is accepted but builds nothing, because
+    the reference's task2 loss is dead code (``model/model.py:884``; see
+    COMPONENTS.md decision record). With ``--task2_intended 1``: build the
+    object-caption bow vocabulary (reference layout
+    ``TextData/vocab_<suffix>/<enc>_<threshold>.pkl``, trainer.py:231-233)
+    and per-video multi-hot concept labels, returning (Task2Spec,
+    labels dict)."""
+    suffix = getattr(opt, "task2_caption", "no_task2_caption")
+    if suffix == "no_task2_caption":
+        return None, None
+    if not int(getattr(opt, "task2_intended", 0)):
+        logger.warning(
+            "task2_caption=%s accepted but INERT: the reference's task2 "
+            "loss is dead code (model/model.py:884 passes zeros) and "
+            "parity is kept by default. Pass --task2_intended 1 for the "
+            "intent implementation (concept-space auxiliary loss).",
+            suffix,
+        )
+        return None, None
+    capfile = os.path.join(
+        rootpath, opt.trainCollection, "TextData",
+        f"{opt.trainCollection}.caption.{suffix}.txt",
+    )
+    encoding = config.text_encoding_task2
+    vpath = os.path.join(
+        rootpath, opt.trainCollection, "TextData", f"vocab_{suffix}",
+        f"{encoding}_{config.threshold_task2}.pkl",
+    )
+    if os.path.exists(vpath):
+        vocab2 = load_vocab_pickle(vpath)
+    else:
+        logger.info("task2 vocab %s missing; building from %s", vpath, capfile)
+        vocab2, _ = build_vocab(capfile, encoding,
+                                threshold=config.threshold_task2)
+        save_vocab(vocab2, vpath)
+    bow2 = get_txt2vec(encoding)(vocab2, norm=0)
+    labels = {
+        vis_id: (np.asarray(bow2.encoding(cap)) > 0).astype(np.float32)
+        for vis_id, cap in TextSource(capfile).captions.items()
+    }
+
+    feat2 = config.txt_feature_task2
+    if feat2 in ("bow", "w2v"):
+        if feat2 not in txt_dims:
+            raise ValueError(
+                f"txt_feature_task2={feat2!r} but the main text encoding "
+                f"has no {feat2!r} feature (active: {sorted(txt_dims)})"
+            )
+        txt_dim_in = txt_dims[feat2]
+    elif feat2 == "no":
+        txt_dim_in = 0
+    else:
+        raise NotImplementedError(
+            f"txt_feature_task2={feat2!r}: only bow/w2v/no are supported "
+            "(the gru variant would need the in-graph GRU encoding)"
+        )
+    if not vis_dims:
+        raise ValueError("task2 needs video-level features (vid_feats)")
+    spec2 = Task2Spec(
+        n_concepts=bow2.ndims,
+        vis_dim_in=int(np.sum(list(vis_dims.values()))),
+        txt_feature=feat2,
+        txt_dim_in=txt_dim_in,
+        activation=config.activation_task2,
+        batch_norm=config.batch_norm_task2,
+        dropout=config.dropout_task2,
+        measure=config.measure_task2,
+        alpha=config.alpha,
+    )
+    logger.info(
+        "task2 (intent) enabled: %d concepts over %d labeled videos, "
+        "alpha=%.3f", bow2.ndims, len(labels), config.alpha,
+    )
+    return spec2, labels
+
+
 def prepare(opt: Options) -> Prepared:
     np.random.seed(opt.random_seed)
     opt.rootpath = os.path.expanduser(opt.rootpath)
@@ -546,8 +636,10 @@ def prepare(opt: Options) -> Prepared:
     config.txt_fc_layers[0] = int(np.sum(list(txt_dims.values())))
 
     task3_enabled = getattr(opt, "task3_caption", "no_task3_caption") != "no_task3_caption"
+    task2_spec, task2_labels = _prepare_task2(opt, config, rootpath, txt_dims,
+                                              vis_dims)
     spec = build_spec(config, vis_dims, txt_dims, gru_spec, frame_dims,
-                      task3=task3_enabled)
+                      task3=task3_enabled, task2=task2_spec)
 
     # pickle the featurizer objects into the config, as the reference does
     # (trainer.py:182-214): checkpoints become self-describing, so both our
@@ -613,7 +705,8 @@ def prepare(opt: Options) -> Prepared:
     train_feed = PairFeed(
         _make_text_batcher(config, featurizers, train_tsource,
                            indexed_bow=dtf, indexed_w2v=dtf_w2v),
-        VisBatcher(train_vsource, with_frames=config.frame_feat_input),
+        VisBatcher(train_vsource, with_frames=config.frame_feat_input,
+                   task2_labels=task2_labels),
         batch_size=opt.batch_size,
         seed=opt.random_seed,
         task3_source=task3_source,

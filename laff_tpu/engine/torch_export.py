@@ -171,6 +171,14 @@ def export_state_dict(ckpt: Dict) -> Dict[str, np.ndarray]:
                 sd[base + idx + "global_emb_weight_net.weight"] = np.asarray(
                     [[g]], dtype=np.float32
                 )
+    if "task2_vis_head" in params or "task2_txt_head" in params:
+        # no reference counterpart exists: the reference never instantiates
+        # task2 modules (its task2 loss is dead code), so these heads stay
+        # laff_tpu-only and the exported retrieval towers are complete
+        logger.warning(
+            "task2 concept heads present but NOT exported (the reference "
+            "has no task2 modules); retrieval towers exported in full"
+        )
     return sd
 
 

@@ -219,6 +219,36 @@ def _masked_margin2(
 
 
 
+def _task2_loss(txt_logits, vis_logits, labels, task2):
+    """Concept-space auxiliary loss (task2 intent — see Task2Spec):
+    stable BCE-with-logits of both heads against the video's multi-hot
+    concept labels, plus an in-batch triplet over the configured concept
+    similarity (hist = generalized Jaccard over sigmoid probabilities,
+    reference ``measure_task2``), all scaled by alpha."""
+    from ..ops import triplet_loss_from_scores
+    from ..ops.similarity import hist_sim
+
+    labels = labels.astype(jnp.float32)
+
+    def bce(logits):
+        per = optax.sigmoid_binary_cross_entropy(logits, labels)
+        return jnp.mean(jnp.sum(per, axis=1))
+
+    total = bce(vis_logits)
+    if txt_logits is not None:
+        total = total + bce(txt_logits)
+        t_prob = jax.nn.sigmoid(txt_logits)
+        v_prob = jax.nn.sigmoid(vis_logits)
+        if task2.measure == "hist":
+            scores = hist_sim(v_prob, t_prob)
+        else:
+            from ..ops.similarity import cosine_sim
+
+            scores = cosine_sim(v_prob, t_prob)
+        total = total + triplet_loss_from_scores(scores, cost_style="mean")
+    return task2.alpha * total
+
+
 def _jit_step(fn):
     """jit with the TrainState donated on accelerator backends: params and
     optimizer state update in place instead of allocating fresh buffers
@@ -262,13 +292,32 @@ def make_train_step(model: LAFFModel, tx, spec):
                 variables["batch_stats"] = state.batch_stats
             if state.schedule:
                 variables["schedule"] = state.schedule
-            out, updates = model.apply(
-                variables, txt_batch, vis_batch, train=True,
-                rngs={"dropout": rng},
-                mutable=["batch_stats"] if state.batch_stats else [],
-            )
-            txt_embs, vis_embs = out
+            task2_labels = None
+            if spec.task2 is not None:
+                # labels ride the vis batch (keyed per video, so they flow
+                # through the HBM feature cache and the scan stacks
+                # untouched); the towers ignore unknown keys
+                vis_in = dict(vis_batch)
+                task2_labels = vis_in.pop("task2_labels")
+                out, updates = model.apply(
+                    variables, txt_batch, vis_in, train=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"] if state.batch_stats else [],
+                    method=model.forward_with_concepts,
+                )
+                txt_embs, vis_embs, txt_conc, vis_conc = out
+            else:
+                out, updates = model.apply(
+                    variables, txt_batch, vis_batch, train=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"] if state.batch_stats else [],
+                )
+                txt_embs, vis_embs = out
             loss = loss_fn(txt_embs, vis_embs)
+            if spec.task2 is not None:
+                loss = loss + _task2_loss(
+                    txt_conc, vis_conc, task2_labels, spec.task2
+                )
             if spec.task3 is not None and false_txt_batch is not None:
                 stats = updates.get("batch_stats", state.batch_stats)
                 false_vars = {"params": params}
@@ -446,9 +495,16 @@ def init_state(model, spec, prepared: Prepared, tx, seed: int = 2) -> TrainState
         txt["w2v"] = jnp.asarray(
             prepared.w2v_table[ids].sum(axis=1) / n[:, None]
         )
+    init_kwargs = {}
+    if spec.task2 is not None:
+        # init through the task2 method so the concept heads' params exist
+        # (flax only materializes submodules the init path actually runs);
+        # the towers trace identically either way
+        vis = {k: v for k, v in vis.items() if k != "task2_labels"}
+        init_kwargs["method"] = model.forward_with_concepts
     variables = model.init(
         {"params": jax.random.key(seed), "dropout": jax.random.key(seed + 1)},
-        txt, vis,
+        txt, vis, **init_kwargs,
     )
     params = variables["params"]
     if prepared.we is not None and "gru" in params.get("txt_net", {}):

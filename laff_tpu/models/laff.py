@@ -43,6 +43,21 @@ def _dtype_of(spec):
     return jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
 
 
+def _densify_bow(inputs: Dict[str, jnp.ndarray], dim: int) -> Dict[str, jnp.ndarray]:
+    """Scatter sparse (ids, counts) bow pairs back to the dense (B, vocab)
+    row the encoders consume (TextBatcher ``indexed_bow``); counts are
+    pre-normalized host-side and padding ids hit the sink column, so the
+    result is exactly the dense encoding."""
+    inputs = dict(inputs)
+    ids = inputs.pop("bow_ids")
+    cnt = inputs.pop("bow_cnt")
+    b = ids.shape[0]
+    dense = jnp.zeros((b, dim + 1), cnt.dtype)
+    dense = dense.at[jnp.arange(b)[:, None], ids].add(cnt)
+    inputs["bow"] = dense[:, :dim]
+    return inputs
+
+
 def _transform_spec_for(spec: TowerSpec, name: str, dim_in: int) -> TransformSpec:
     overrides = dict(spec.transform_overrides)
     if name in overrides:
@@ -89,14 +104,7 @@ class FusionTower(nn.Module):
         # scattering here reproduces the dense encoding exactly (counts are
         # pre-normalized host-side; padding ids hit the sink column)
         if "bow_ids" in inputs:
-            inputs = dict(inputs)
-            ids = inputs.pop("bow_ids")
-            cnt = inputs.pop("bow_cnt")
-            dim = dict(spec.features)["bow"]
-            b = ids.shape[0]
-            dense = jnp.zeros((b, dim + 1), cnt.dtype)
-            dense = dense.at[jnp.arange(b)[:, None], ids].add(cnt)
-            inputs["bow"] = dense[:, :dim]
+            inputs = _densify_bow(inputs, dict(spec.features)["bow"])
 
         # -- FrameLAFF: pool per-frame features into video-level vectors ----
         frame_pooled: Dict[str, jnp.ndarray] = {}
@@ -246,6 +254,27 @@ class LAFFModel(nn.Module):
                                      tied_modules=txt_tied, name="txt_net")
         self.vis_tower = FusionTower(self.spec.vis, is_visual=True,
                                      tied_modules=vis_tied, name="vis_net")
+        # task2 concept-space heads (intent-implementation, see Task2Spec):
+        # raw features -> concept LOGITS (fc -> dropout -> BN); the sigmoid
+        # the reference configures (activation_task2) is applied at the
+        # loss, not mid-stack — the reference TransformNet ordering would
+        # put BatchNorm AFTER the sigmoid, whose unbounded output breaks
+        # the probability semantics the BCE/Jaccard objective requires
+        # (unknowable intent: the reference task2 loss never executes)
+        t2 = self.spec.task2
+        if t2 is not None:
+            act = None if t2.activation == "sigmoid" else t2.activation
+            self.task2_vis_head = TransformNet(
+                dim_out=t2.n_concepts, activation=act,
+                dropout=t2.dropout, batch_norm=t2.batch_norm,
+                name="task2_vis_head",
+            )
+            if t2.txt_feature != "no":
+                self.task2_txt_head = TransformNet(
+                    dim_out=t2.n_concepts, activation=act,
+                    dropout=t2.dropout, batch_norm=t2.batch_norm,
+                    name="task2_txt_head",
+                )
 
     def _build_tied_transforms(self):
         """Cross-tower weight tying (reference ``txt_fc_same_with_vis_fc``,
@@ -300,6 +329,48 @@ class LAFFModel(nn.Module):
             modules.append(module)
         self._tied_modules = tuple(modules)  # keep them registered in setup
         return txt_tied, vis_tied
+
+    def encode_concepts(
+        self,
+        txt_inputs: Optional[Dict[str, jnp.ndarray]],
+        vis_inputs: Dict[str, jnp.ndarray],
+        train: bool = False,
+    ):
+        """Concept-space logits (task2 intent): the visual head reads the
+        concatenated raw video-level features (reference dim plumbing
+        ``vis_fc_layers_task2[0] = vis_fc_layers[0]``, trainer.py:238),
+        the text head the main task's ``txt_feature_task2`` feature
+        (trainer.py:244-251). Returns (txt_logits | None, vis_logits)."""
+        t2 = self.spec.task2
+        raw = jnp.concatenate(
+            [vis_inputs[name] for name, _ in self.spec.vis.features], axis=1
+        )
+        vis_logits = self.task2_vis_head(raw, train=train)
+        txt_logits = None
+        if t2.txt_feature != "no" and txt_inputs is not None:
+            feat = t2.txt_feature
+            if feat == "bow" and "bow_ids" in txt_inputs:
+                txt_inputs = _densify_bow(
+                    txt_inputs, dict(self.spec.txt.features)["bow"]
+                )
+            txt_logits = self.task2_txt_head(txt_inputs[feat], train=train)
+        return txt_logits, vis_logits
+
+    def forward_with_concepts(
+        self,
+        txt_inputs: Dict[str, jnp.ndarray],
+        vis_inputs: Dict[str, jnp.ndarray],
+        train: bool = False,
+    ):
+        """One apply for the training step when task2 is active: common-space
+        embeddings plus concept logits, so tower and head BatchNorm updates
+        land in a single mutable pass."""
+        txt_embs = self.encode_txt(txt_inputs, train=train)
+        vis_embs = self.encode_vis(vis_inputs, train=train)
+        txt_conc, vis_conc = self.encode_concepts(
+            txt_inputs, vis_inputs, train=train
+        )
+        return txt_embs, vis_embs, txt_conc, vis_conc
 
     def encode_txt(self, inputs: Dict[str, jnp.ndarray], train: bool = False):
         return self.txt_tower(inputs, train=train)

@@ -123,6 +123,38 @@ class Task3Spec:
 
 
 @dataclasses.dataclass(frozen=True)
+class Task2Spec:
+    """Concept-space ('task2') auxiliary objective — the reference's
+    documented INTENT, which its shipped code never executes: every
+    ``compute_loss`` call passes literal zeros for the task2 embeddings
+    (reference ``model/model.py:884``; full evidence in COMPONENTS.md).
+    The reference trainer still builds the plumbing — a bow vocabulary
+    over the per-video object-caption file and projection dims
+    ``vis_fc_layers_task2`` (input = concatenated raw video features) /
+    ``txt_fc_layers_task2`` (input = the MAIN task's text feature,
+    output = the concept vocab; ``trainer.py:218-263``) — from which the
+    intent is unambiguous: project both towers into the concept space and
+    supervise with the video's concept labels. OPT-IN via
+    ``--task2_intended 1``; the default keeps effective parity with the
+    reference (config accepted, loss inert).
+
+    Loss = alpha * (BCE(vis concepts, labels) + BCE(txt concepts, labels)
+    + triplet over measure-``task2`` (hist/Jaccard) concept similarities)
+    added to the retrieval loss (``alpha`` "balance[s] latent space and
+    task2 space", reference ``base_config.py:242``)."""
+
+    n_concepts: int
+    vis_dim_in: int
+    txt_feature: str = "bow"  # bow | w2v | no (reference txt_feature_task2)
+    txt_dim_in: int = 0
+    activation: str = "sigmoid"
+    batch_norm: bool = True
+    dropout: float = 0.1
+    measure: str = "hist"
+    alpha: float = 0.2
+
+
+@dataclasses.dataclass(frozen=True)
 class LAFFSpec:
     """Full dual-encoder spec."""
 
@@ -141,3 +173,4 @@ class LAFFSpec:
     cost_style: str = "sum"
     loss: str = "mrl"  # mrl | dsl | CELoss
     task3: Optional[Task3Spec] = None
+    task2: Optional[Task2Spec] = None
