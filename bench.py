@@ -72,22 +72,29 @@ def bench_ours():
     vis = l2norm(jnp.asarray(rng.standard_normal((V, H, D)).astype(np.float32)), axis=-1)
     gt = jnp.asarray(rng.integers(0, V, (T,)).astype(np.int32))
     # uniform per-iteration scaling defeats execution memoization without
-    # changing any rank (cosine ranking is scale-invariant)
+    # changing any rank (cosine ranking is scale-invariant); the scale is
+    # a jit ARGUMENT so the multiply fuses into the kernel's own bf16 cast
+    # instead of paying a separate 0.5 GB read+write pass per iteration
+    import jax
+
     scales = [jnp.float32(1.0 + 1e-6 * i) for i in range(8)]
+    jit_flat = jax.jit(
+        lambda tx, vn, g, s: flat_sim_ranks(tx * s, vn, g, prenormalized=True)
+    )
+    jit_pallas = jax.jit(
+        lambda tx, vn, g, s: fused_sim_rank(
+            tx * s, vn, g, block_t=256, block_v=1024, prenormalized=True
+        )
+    )
 
     def run_xla_flat(i):
         # single flat bf16 matmul + fused counting; the (T, V) score block
         # fits in HBM at this gallery scale, and XLA's matmul pipelining
         # runs at the MXU roofline
-        tx = txt * scales[i % 8]
-        return np.asarray(flat_sim_ranks(tx, vis, gt, prenormalized=True))
+        return np.asarray(jit_flat(txt, vis, gt, scales[i % 8]))
 
     def run_pallas(i):
-        tx = txt * scales[i % 8]
-        return np.asarray(
-            fused_sim_rank(tx, vis, gt, block_t=256, block_v=1024,
-                           prenormalized=True)
-        )
+        return np.asarray(jit_pallas(txt, vis, gt, scales[i % 8]))
 
     best = None
     for name, fn in (("xla_flat_count", run_xla_flat), ("pallas_fused", run_pallas)):

