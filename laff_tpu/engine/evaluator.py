@@ -249,7 +249,12 @@ def _gather_gt_scores(S, gt_cols, col_base, gt_scores):
     local = gt_cols - col_base
     b = S.shape[1]
     hit = (local >= 0) & (local < b)
-    vals = jnp.take_along_axis(S, jnp.clip(local, 0, b - 1)[:, None], axis=1)[:, 0]
+    # masked row-reduction, not take_along_axis: the per-row one-element
+    # gather over a block-sized score matrix runs far below bandwidth
+    # (see laff_tpu.eval.flat_sim_ranks); out-of-block rows match no
+    # column and sum to 0, then keep their previous value via ``hit``
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
+    vals = jnp.sum(jnp.where(col_ids == local[:, None], S, 0.0), axis=1)
     return jnp.where(hit, vals, gt_scores)
 
 
@@ -291,8 +296,12 @@ def _v2t_block_ranks(S, pos):
     cap_ids = jax.lax.broadcasted_iota(jnp.int32, (1, svt.shape[1]), 1)
 
     def per_slot(p_col):  # p_col: (B,)
-        safe = jnp.clip(p_col, 0, svt.shape[1] - 1)
-        s_p = jnp.take_along_axis(svt, safe[:, None], axis=1)  # (B, 1)
+        # masked reduction, not take_along_axis (see _gather_gt_scores);
+        # padded slots (-1) match no column, and their rank rows are
+        # masked to 0 by the caller anyway
+        s_p = jnp.sum(
+            jnp.where(cap_ids == p_col[:, None], svt, 0.0), axis=1
+        )[:, None]
         greater = jnp.sum((svt > s_p).astype(jnp.int32), axis=1)
         tie = jnp.sum(
             ((svt == s_p) & (cap_ids > p_col[:, None])).astype(jnp.int32), axis=1

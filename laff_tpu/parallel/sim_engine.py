@@ -61,13 +61,16 @@ def sharded_t2v_ranks(
 
         # gt score taken FROM the shard that owns the gt column (the same
         # matmul whose entries we compare against), then psum'd — keeps
-        # tie comparisons self-consistent across accumulation orders
-        local_col = jnp.clip(gt_cols - col0, 0, shard - 1)
-        owned = (gt_cols >= col0) & (gt_cols < col0 + shard)
-        picked = jnp.take_along_axis(scores, local_col[:, None], axis=1)[:, 0]
-        gt_scores = jax.lax.psum(jnp.where(owned, picked, 0.0), axis)
-
+        # tie comparisons self-consistent across accumulation orders.
+        # Masked row-reduction, not take_along_axis: the per-row gather
+        # over an HBM score block costs ~6 ms at MV-test3k scale
+        # (laff_tpu.eval.flat_sim_ranks measurement); non-owner shards
+        # contribute exactly 0 to the psum
         col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        at_gt = col_ids == gt_cols[:, None]
+        gt_scores = jax.lax.psum(
+            jnp.sum(jnp.where(at_gt, scores, 0.0), axis=1), axis
+        )
         valid = col_ids < v_real
         greater = jnp.sum(
             jnp.logical_and(scores > gt_scores[:, None], valid).astype(jnp.int32),
