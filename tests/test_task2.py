@@ -88,6 +88,29 @@ def test_task2_cached_epochs_match_fed(task2_world):
     )
 
 
+def test_predict_with_task2_checkpoint(task2_world):
+    """A task2-trained checkpoint predicts normally: the concept heads sit
+    in the params but inference only drives the retrieval towers."""
+    build_collection(task2_world, "toytest", n_videos=12, caps_per_video=1,
+                     seed=9)
+    t2 = train_main(_opts(task2_world, "t2pred", task2_caption="obj",
+                          task2_intended=1))
+    from laff_tpu.engine.predictor import PredictOptions, main as predict_main
+
+    popt = PredictOptions(
+        testCollection="toytest",
+        model_path=os.path.join(t2["model_path"], "model_best.pth.tar"),
+        sim_name="t2pred", rootpath=task2_world,
+        query_sets="toytest.caption.txt",
+        predict_result_file=os.path.join(task2_world, "result_log",
+                                         "result_test.txt"),
+        batch_size=16,
+    )
+    results = predict_main(popt)
+    res = results["toytest.caption.txt"]
+    assert len(res["t2v"]) >= 6  # full metric tuple produced
+
+
 def test_task2_loss_math():
     """_task2_loss == alpha * (BCE_vis + BCE_txt + hist-triplet), with the
     BCEs computed from logits (stable form) and hist over sigmoid probs."""
