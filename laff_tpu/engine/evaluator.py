@@ -127,6 +127,18 @@ def _flat_scores_block(tn: jnp.ndarray, vn: jnp.ndarray, heads: int) -> jnp.ndar
     return jnp.dot(tn, vn.T, preferred_element_type=jnp.float32) / heads
 
 
+@partial(jax.jit, static_argnames=("heads",))
+def _flat_block_ranks(tn: jnp.ndarray, vn: jnp.ndarray, gt: jnp.ndarray,
+                      heads: int) -> jnp.ndarray:
+    """One dispatch per text block: scores + rank counting fused, so the
+    block's (B, V) score matrix never round-trips HBM between two jits
+    (and tunneled deployments pay one RTT per block, not two). The /heads
+    mean is kept INSIDE the fusion so tie comparisons see exactly the
+    same f32 values as the two-dispatch path."""
+    scores = jnp.dot(tn, vn.T, preferred_element_type=jnp.float32) / heads
+    return ranks_from_scores_device(scores, gt)
+
+
 def score_matrix(
     txt_embs: jnp.ndarray,
     vis_embs: jnp.ndarray,
@@ -184,10 +196,9 @@ def t2v_ranks(
     ranks = np.empty((n,), dtype=np.int32)
     for start in range(0, n, block):
         stop = min(start + block, n)
-        scores = _flat_scores_block(tn[start:stop], vn, heads)
-        ranks[start:stop] = np.asarray(
-            ranks_from_scores_device(scores, jnp.asarray(gt[start:stop]))
-        )
+        ranks[start:stop] = np.asarray(_flat_block_ranks(
+            tn[start:stop], vn, jnp.asarray(gt[start:stop]), heads
+        ))
     return ranks
 
 
