@@ -25,10 +25,12 @@ def parse_args(argv=None):
                         help="embedder prefetch depth (batches in flight)")
     parser.add_argument("--device", default="0", type=str,
                         help="accepted for CLI parity; device selection is JAX-managed")
-    parser.add_argument("--adjust_weight_predict", type=bool, default=False,
+    parser.add_argument("--adjust_weight_predict", type=int, default=0,
+                        choices=[0, 1],
                         help="accepted for CLI parity; parsed but never "
                              "read by the reference either (predictor.py:44 "
-                             "is its only occurrence)")
+                             "is its only occurrence — and its type=bool "
+                             "there makes any explicit value truthy)")
     parser.add_argument("--task3_caption", type=str, default="no_task3_caption",
                         help="any other value enables boolean negation "
                              "scoring of the queries (predictneg)")

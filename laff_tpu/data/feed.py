@@ -149,14 +149,22 @@ class VisBatcher:
         self.source = source
         self.with_frames = with_frames
         self.task2_labels = task2_labels
+        self._task2_zero = None
+        if task2_labels is not None:
+            if not task2_labels:
+                raise ValueError(
+                    "task2_labels is empty: no object captions were parsed "
+                    "from the task2 caption file"
+                )
+            dim = len(next(iter(task2_labels.values())))
+            self._task2_zero = np.zeros((dim,), np.float32)
 
     def __call__(self, vis_ids: Sequence[str]) -> Dict[str, np.ndarray]:
         batch = dict(self.source.gather(vis_ids))
         if self.with_frames:
             batch.update(self.source.gather_frames(vis_ids))
         if self.task2_labels is not None:
-            dim = len(next(iter(self.task2_labels.values())))
-            zero = np.zeros((dim,), np.float32)
+            zero = self._task2_zero
             batch["task2_labels"] = np.stack(
                 [self.task2_labels.get(v, zero) for v in vis_ids]
             )

@@ -135,26 +135,30 @@ class DeviceTxtCache:
 
 def estimate_txt_cache_bytes(text_batcher, cap_ids=None, bf16: bool = False,
                              probe: int = 64) -> int:
-    """Bytes the text cache would occupy, from a small probe batch.
+    """UPPER BOUND on the bytes the text cache would occupy, from a small
+    probe batch.
 
-    The probe takes the LONGEST captions: most modalities pad to a fixed
-    global width, but netvlad tokens pad to the probe batch's max caption
-    length (feed.py::_netvlad_tokens) — a prefix probe would underestimate
-    the cache (built at the corpus-wide width) and admit an over-budget
-    cache into HBM."""
+    Most modalities pad to a fixed global width, so bytes-per-caption
+    extrapolates exactly — but netvlad tokens pad to the probe batch's
+    max IN-VOCAB token count (feed.py::_netvlad_tokens), which no cheap
+    host-side proxy bounds (raw word counts miss OOV/stopword drops). A
+    probe-width extrapolation could under-estimate and admit an
+    over-budget cache into HBM, so the variable-width netvlad arrays are
+    scaled to the max_txtlength ceiling the real cache can never exceed.
+    Over-estimating only declines a cache (the fed path is always
+    correct); under-estimating would OOM the device."""
     caps = list(cap_ids if cap_ids is not None
                 else text_batcher.source.cap_ids)
-    n_probe = min(probe, len(caps))
-    texts = getattr(text_batcher.source, "captions", None) or {}
-    caps_probe = sorted(
-        caps, key=lambda c: -len(texts.get(c, "").split())
-    )[:n_probe] if texts else caps[:n_probe]
-    sample = text_batcher(caps_probe)
+    sample = text_batcher(caps[: min(probe, len(caps))])
     if bf16:
         sample = host_cast_bf16(sample)
-    per_row = sum(
-        int(a.size) * a.dtype.itemsize // a.shape[0] for a in sample.values()
-    )
+    max_len = getattr(text_batcher, "max_txtlength", 77)
+    per_row = 0
+    for name, a in sample.items():
+        row = int(a.size) * a.dtype.itemsize // a.shape[0]
+        if name in ("netvlad_tokens", "netvlad_mask") and a.ndim >= 2:
+            row = row * max_len // max(a.shape[1], 1)
+        per_row += row
     return per_row * len(caps)
 
 

@@ -57,7 +57,7 @@ class PredictOptions:
     batch_size: int = 1024
     num_workers: int = 0
     device: str = "0"
-    adjust_weight_predict: bool = False  # parity: dead flag in the reference too
+    adjust_weight_predict: int = 0  # parity: dead flag in the reference too
     task3_caption: str = "no_task3_caption"  # != default: boolean negation scoring
     neg_method: str = "sub"     # negation adjustment: sub | mul
     data_parallel: int = 0      # shard eval batches over an N-device mesh

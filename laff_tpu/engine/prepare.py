@@ -141,14 +141,15 @@ def get_we(vocab, w2v_dir: str) -> np.ndarray:
     return we.astype(np.float32)
 
 
-def _vocab_path(rootpath, collection, encoding, threshold):
+def _vocab_path(rootpath, collection, encoding, threshold, dirname="vocab"):
     return os.path.join(
-        rootpath, collection, "TextData", "vocab", f"{encoding}_{threshold}.pkl"
+        rootpath, collection, "TextData", dirname, f"{encoding}_{threshold}.pkl"
     )
 
 
-def _ensure_vocab(rootpath, collection, encoding, threshold, capfile):
-    path = _vocab_path(rootpath, collection, encoding, threshold)
+def _ensure_vocab(rootpath, collection, encoding, threshold, capfile,
+                  dirname="vocab"):
+    path = _vocab_path(rootpath, collection, encoding, threshold, dirname)
     if os.path.exists(path):
         return load_vocab_pickle(path)
     logger.info("vocab %s missing; building from %s", path, capfile)
@@ -524,22 +525,17 @@ def _prepare_task2(opt, config, rootpath, txt_dims, vis_dims):
         f"{opt.trainCollection}.caption.{suffix}.txt",
     )
     encoding = config.text_encoding_task2
-    vpath = os.path.join(
-        rootpath, opt.trainCollection, "TextData", f"vocab_{suffix}",
-        f"{encoding}_{config.threshold_task2}.pkl",
+    vocab2 = _ensure_vocab(
+        rootpath, opt.trainCollection, encoding, config.threshold_task2,
+        capfile, dirname=f"vocab_{suffix}",
     )
-    if os.path.exists(vpath):
-        vocab2 = load_vocab_pickle(vpath)
-    else:
-        logger.info("task2 vocab %s missing; building from %s", vpath, capfile)
-        vocab2, _ = build_vocab(capfile, encoding,
-                                threshold=config.threshold_task2)
-        save_vocab(vocab2, vpath)
     bow2 = get_txt2vec(encoding)(vocab2, norm=0)
     labels = {
         vis_id: (np.asarray(bow2.encoding(cap)) > 0).astype(np.float32)
         for vis_id, cap in TextSource(capfile).captions.items()
     }
+    if not labels:
+        raise ValueError(f"task2 caption file {capfile} yielded no labels")
 
     feat2 = config.txt_feature_task2
     if feat2 in ("bow", "w2v"):

@@ -751,14 +751,20 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         train_step = make_w2v_pooled_train_step(train_step, table)
     # -- device-resident epochs (on by default whenever HBM allows) --------
     # -1 = auto: cache whenever semantics are preserved and the estimate
-    # fits the budget. Caching is bit-identical to the fed path EXCEPT when
-    # (a) task3 resamples false captions per epoch or (b) frame features
-    # are randomly resampled per epoch — auto declines both.
+    # fits the budget; caching is bit-identical to the fed path.
     budget = int(os.environ.get("LAFF_TPU_CACHE_BUDGET", 4 * 1024**3))
-    deterministic_feed = spec.task3 is None and (
-        not getattr(spec.vis, "frame_features", None)
-        or getattr(config, "frame_sample_type_train", "uniform") != "random"
-    )
+    # determinism is per side: task3 swaps CAPTIONS per epoch (negation
+    # augmentation + false-caption resampling) but never the per-video
+    # visual rows, so only the TEXT cache is gated by it. The visual feed
+    # here is always deterministic: precomputed video features are static
+    # and the frame-feature path truncates to the FIRST max_frame frames,
+    # matching the reference (data_provider.py:476-477) —
+    # config.frame_sample_type_train randomness only exists in the
+    # raw-frame End2EndClip pipeline (engine/end2end.py), which has no
+    # feature cache. (An earlier guard keyed the vis cache on that config
+    # knob, silently declining auto-cache for every FrameLAFF config,
+    # whose base default is 'random'.)
+    txt_deterministic = spec.task3 is None
     from .feature_cache import (
         DeviceTxtCache, DeviceVisCache, estimate_txt_cache_bytes,
         estimate_vis_cache_bytes,
@@ -768,21 +774,10 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     want_vis = int(getattr(opt, "device_feature_cache", -1))
     if want_vis == -1:
         want_vis = int(
-            deterministic_feed
-            and estimate_vis_cache_bytes(
+            estimate_vis_cache_bytes(
                 prepared.train_feed.vis_batcher, bf16=cast_vis) <= budget
         )
     if want_vis:
-        if not deterministic_feed:
-            # a forced cache must not silently override the guard: task3
-            # substitutes negation-augmented captions per epoch and random
-            # frame sampling redraws frames per epoch — an HBM cache built
-            # once would train on stale rows with no visible error
-            raise ValueError(
-                "--device_feature_cache 1 is incompatible with this feed "
-                "(task3 caption substitution / random frame sampling "
-                "changes batch contents per epoch). Use 0 or -1 (auto)."
-            )
         vis_cache = DeviceVisCache(
             prepared.train_feed.vis_batcher, bf16=cast_vis, mesh=mesh
         )
@@ -792,18 +787,19 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     if want_txt == -1:
         want_txt = int(
             want_vis  # txt rows alone don't help while vis features stream
-            and deterministic_feed
+            and txt_deterministic
             and estimate_txt_cache_bytes(
                 prepared.train_feed.text_batcher,
                 cap_ids=prepared.train_feed.cap_ids, bf16=cast_txt,
             ) + (vis_cache.nbytes if vis_cache else 0) <= budget
         )
     if want_txt:
-        if not deterministic_feed:
+        if not txt_deterministic:
             raise ValueError(
-                "--device_text_cache 1 is incompatible with this feed "
-                "(task3 caption substitution / random frame sampling "
-                "changes batch contents per epoch). Use 0 or -1 (auto)."
+                "--device_text_cache 1 is incompatible with task3 "
+                "(negation augmentation substitutes captions per epoch, "
+                "so a once-built HBM cache would go stale). Use 0 or -1 "
+                "(auto)."
             )
         txt_cache = DeviceTxtCache(
             prepared.train_feed.text_batcher,

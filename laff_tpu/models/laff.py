@@ -365,6 +365,13 @@ class LAFFModel(nn.Module):
         """One apply for the training step when task2 is active: common-space
         embeddings plus concept logits, so tower and head BatchNorm updates
         land in a single mutable pass."""
+        if "bow_ids" in txt_inputs:
+            # densify ONCE here: both the txt tower and the bow concept
+            # head consume the dense row, so the vocab-wide scatter must
+            # not rely on XLA CSE to dedup
+            txt_inputs = _densify_bow(
+                txt_inputs, dict(self.spec.txt.features)["bow"]
+            )
         txt_embs = self.encode_txt(txt_inputs, train=train)
         vis_embs = self.encode_vis(vis_inputs, train=train)
         txt_conc, vis_conc = self.encode_concepts(

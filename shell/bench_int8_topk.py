@@ -42,7 +42,13 @@ def main():
     from laff_tpu.ops.quantized import int8_scores, quantize_rows
 
     T, V, D, K = args.t, args.v, args.d, args.k
+    K = min(K, V)
     BLK = min(1 << 16, V)
+    if V % BLK:
+        # the fori_loop fills V // BLK full blocks; a ragged tail would
+        # silently stay zero and corrupt every timing/overlap stat
+        ap.error(f"--v {V} must be a multiple of {BLK} "
+                 f"(or <= {1 << 16} to build in one block)")
 
     @jax.jit
     def build_gallery(key):
@@ -85,7 +91,7 @@ def main():
     def int8_only(tq, ts, vq, vs):
         return jax.lax.top_k(int8_scores(tq, ts, vq, vs), K)
 
-    C = K + K // 2
+    C = min(K + K // 2, V)
 
     @jax.jit
     def rescored(tq, ts, vq, vs, txt_bf, vis):

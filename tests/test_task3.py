@@ -48,22 +48,29 @@ def test_task3_training_runs_and_learns(task3_world):
     assert os.path.exists(os.path.join(result["model_path"], "model_best.pth.tar"))
 
 
-def test_forced_device_cache_rejected_under_task3(task3_world):
-    """task3 substitutes negation-augmented captions per epoch, so a
-    once-built HBM cache would silently train on stale rows — forcing
-    --device_feature_cache/--device_text_cache 1 must fail loudly (the
-    auto default -1 declines the cache instead)."""
+def test_device_caches_under_task3(task3_world):
+    """task3 substitutes negation-augmented CAPTIONS per epoch, so a
+    once-built HBM text cache would silently train on stale rows —
+    forcing --device_text_cache 1 must fail loudly. The VISUAL rows are
+    static per video, so the vis cache stays legal under task3 and must
+    reproduce the fed path exactly."""
     base = dict(
         trainCollection="toytrain", valCollection="toyval",
         rootpath=task3_world, val_set="no", config_name="tiny",
-        num_epochs=1, batch_size=12, task3_caption="false",
+        num_epochs=2, batch_size=12, task3_caption="false",
     )
-    with pytest.raises(ValueError, match="incompatible"):
-        train_main(Options(model_prefix="t3_viscache",
-                           device_feature_cache=1, **base))
     with pytest.raises(ValueError, match="incompatible"):
         train_main(Options(model_prefix="t3_txtcache",
                            device_text_cache=1, **base))
+    fed = train_main(Options(model_prefix="t3_fed", device_feature_cache=0,
+                             device_text_cache=0, steps_per_dispatch=1,
+                             **base))
+    cached = train_main(Options(model_prefix="t3_viscache",
+                                device_feature_cache=1, **base))
+    np.testing.assert_allclose(
+        [e["loss"] for e in cached["history"]],
+        [e["loss"] for e in fed["history"]], rtol=1e-5,
+    )
 
 
 def test_task3_feed_batches(task3_world):
