@@ -115,6 +115,32 @@ def test_frame_laff_end_to_end(tmp_path):
     assert dict(ckpt["spec"].vis.frame_features) == {"clip_frames": 16}
 
 
+def test_frame_laff_cached_epochs_match_fed(tmp_path):
+    """FrameLAFF's padded (V, max_frame, D) frame arrays cache bit-identically
+    (the precomputed frame path truncates to the FIRST max_frame frames —
+    deterministic, like the reference data_provider.py:476-477 — so the HBM
+    cache is legal here; an earlier guard wrongly declined it)."""
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=18, caps_per_video=2, seed=1,
+                     frame_feat=True)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=6,
+                     frame_feat=True)
+    build_w2v(root)
+
+    def run(prefix, **kw):
+        opt = make_opt(root, config_name="tiny_frame", num_epochs=2,
+                       batch_size=6, model_prefix=prefix, **kw)
+        return main(opt)
+
+    fed = run("ffed", device_feature_cache=0, device_text_cache=0,
+              steps_per_dispatch=1)
+    cached = run("fcache", device_feature_cache=1)
+    np.testing.assert_allclose(
+        [e["loss"] for e in cached["history"]],
+        [e["loss"] for e in fed["history"]], rtol=1e-5,
+    )
+
+
 def test_multi_step_scan_matches_sequential(tmp_path):
     """K scanned train steps == K sequential train steps (same rngs):
     identical final params, BN stats, step counter, and per-step losses."""
