@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Retrieval serving endpoint (TPU-native extension; the reference is
+batch-only).
+
+Loads a checkpoint, embeds the collection's gallery into HBM once, and
+serves ad-hoc text queries over stdlib HTTP:
+
+  POST /search   {"queries": ["a dog runs", ...], "k": 10}
+                 -> {"results": [[{"id": ..., "score": ...}, ...], ...]}
+  GET  /healthz  -> {"ok": true, "gallery": N, "dtype": "bf16"}
+
+Example:
+  python do_server.py iacc.3 ~/ckpt/model_best.pth.tar --rootpath ~/VisualSearch \
+      --port 8080 --gallery_dtype int8
+"""
+
+import argparse
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from laff_tpu.utils import ROOT_PATH, get_logger
+
+logger = get_logger("do_server")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("LAFF-TPU retrieval server")
+    p.add_argument("collection", type=str, help="gallery collection")
+    p.add_argument("model_path", type=str, help="checkpoint to serve")
+    p.add_argument("--rootpath", type=str, default=ROOT_PATH)
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--k_default", type=int, default=10)
+    p.add_argument("--gallery_dtype", type=str, default="bf16",
+                   choices=["bf16", "int8"],
+                   help="int8 = half the HBM, ~1.6x MXU rate, quantized "
+                        "scores (measured exact top-k order at scale)")
+    return p.parse_args(argv)
+
+
+def make_handler(service, k_default: int):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "ok": True,
+                    "gallery": len(service.vis_ids),
+                    "dtype": service.gallery_dtype,
+                    "heads": service.heads,
+                })
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                queries = req.get("queries")
+                if not isinstance(queries, list) or not all(
+                    isinstance(q, str) for q in queries
+                ):
+                    self._reply(400, {"error": "'queries' must be a list of strings"})
+                    return
+                k = int(req.get("k", k_default))
+                results = service.search(queries, k=k)
+                self._reply(200, {"results": [
+                    [{"id": vid, "score": score} for vid, score in row]
+                    for row in results
+                ]})
+            except Exception as e:  # surface the error to the client
+                logger.exception("search failed")
+                self._reply(500, {"error": str(e)})
+
+        def log_message(self, fmt, *args):  # route through our logger
+            logger.info("%s %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from laff_tpu.engine.service import RetrievalService
+
+    service = RetrievalService(
+        args.model_path, args.rootpath, args.collection,
+        batch_size=args.batch_size, gallery_dtype=args.gallery_dtype,
+    )
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(service, args.k_default))
+    logger.info("serving %s on http://%s:%d (POST /search)",
+                args.collection, args.host, server.server_address[1])
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,209 @@
+"""Online retrieval serving: checkpoint -> resident gallery -> live queries.
+
+The reference is batch-only (``predictor.py`` writes ranking files); this
+module is the TPU-native serving tier the deployment story needs: load a
+checkpoint once, embed the whole gallery into HBM once (bf16 exact, or
+int8 at 2x shots/chip via laff_tpu.ops.quantized), then answer ad-hoc
+text queries at interactive latency — each query batch is one text-tower
+pass plus one MXU score+top-k dispatch against the resident gallery.
+
+Query batches bucket to powers of two so every arrival size reuses a
+compiled executable (no data-dependent shapes ever reach jit).
+
+``do_server.py`` wraps this in a stdlib HTTP endpoint; the class is the
+in-process API.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import EvalFeed
+from ..utils import get_logger
+from .checkpoint import load_checkpoint
+from .evaluator import Embedder
+from .predictor import rebuild_featurizers, rebuild_model
+
+logger = get_logger(__name__)
+
+
+class _QueryBatcher:
+    """EvalFeed-compatible batcher over an in-memory list of raw query
+    strings (ids are list indices as strings)."""
+
+    def __init__(self, text_batcher, queries: Sequence[str]):
+        self._tb = text_batcher
+        self._queries = list(queries)
+
+    def __call__(self, ids: Sequence[str]) -> Dict[str, np.ndarray]:
+        caps = [self._queries[int(i)] for i in ids]
+        return self._tb.encode_captions(caps, ids)
+
+
+@partial(jax.jit, static_argnames=("k", "heads"))
+def _score_topk(tn, vn, k: int, heads: int):
+    scores = jnp.dot(tn, vn.T, preferred_element_type=jnp.float32) / heads
+    return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k", "heads"))
+def _score_topk_int8(tq, ts, vq, vs, k: int, heads: int):
+    from ..ops.quantized import int8_scores
+
+    return jax.lax.top_k(int8_scores(tq, ts, vq, vs) / heads, k)
+
+
+class RetrievalService:
+    """Checkpoint + feature collection -> live text-to-video search.
+
+    gallery_dtype:
+      'bf16'  — exact mean-of-cosines scores (gallery = V x H*d bf16 in HBM)
+      'int8'  — half the HBM (symmetric per-row int8 + f32 scales); scores
+                carry the quantization error (measured top-1000 overlap
+                with exact at the 1M x 4096 design point: 1.0000 —
+                shell/bench_int8_topk.py), ~1.6x the MXU rate.
+
+    Requires every active text modality to be live-encodable (bow / w2v /
+    gru / netvlad / in-graph bert / live clip tower). Precomputed-only
+    text configs cannot embed ad-hoc queries — same constraint the
+    negation scorer documents.
+    """
+
+    _BUCKETS = (1, 8, 64, 512)
+
+    def __init__(
+        self,
+        model_path: str,
+        rootpath: str,
+        collection: str,
+        batch_size: int = 512,
+        gallery_dtype: str = "bf16",
+        max_frame: Optional[int] = None,
+    ) -> None:
+        from ..data import TextBatcher, VisBatcher, VisionSource, read_video_set
+        from ..store import BigFile
+        import os
+
+        ckpt = load_checkpoint(model_path)
+        self.config = ckpt["config"]
+        featurizers = rebuild_featurizers(ckpt, rootpath)
+        dead = [n for n, f in featurizers.items() if f is None]
+        if dead:
+            raise ValueError(
+                f"text modalities {dead} are precomputed-only in this "
+                "config; ad-hoc queries cannot be embedded. Serve a "
+                "checkpoint whose text encoders are live (bow/w2v/gru/"
+                "netvlad/in-graph bert/live clip)."
+            )
+        model, variables, self.spec = rebuild_model(ckpt)
+        self.embedder = Embedder(model, variables)
+        self._text_batcher = TextBatcher(
+            source=None, featurizers=featurizers,
+            max_txtlength=getattr(self.config, "max_txtlength", 77),
+        )
+        self._lock = threading.Lock()
+
+        # -- resident gallery -------------------------------------------
+        coll_dir = os.path.join(rootpath, collection)
+        vis_files = {
+            n: BigFile(os.path.join(coll_dir, "FeatureData", n))
+            for n in self.config.vid_feats
+        }
+        frame_files = None
+        if self.config.frame_feat_input:
+            frame_files = {
+                n: BigFile(os.path.join(coll_dir, "FeatureData", "frame", n))
+                for n in self.config.vid_frame_feats
+            }
+        self.vis_ids: List[str] = read_video_set(
+            os.path.join(coll_dir, "VideoSets", collection + ".txt")
+        )
+        vsrc = VisionSource(
+            vis_files, self.vis_ids, frame_feat_files=frame_files,
+            max_frame=max_frame or self.config.max_frame,
+        )
+        feed = EvalFeed(
+            self.vis_ids, VisBatcher(vsrc, with_frames=self.config.frame_feat_input),
+            batch_size=batch_size,
+        )
+        from ..ops.pallas_kernels import flatten_heads
+
+        embs, ids = self.embedder.embed_vis(feed)
+        assert ids == self.vis_ids
+        self.heads = embs.shape[1] if embs.ndim == 3 else 1
+        vn = flatten_heads(embs)
+        if gallery_dtype == "int8":
+            from ..ops.quantized import quantize_rows
+
+            self._vq, self._vs = jax.jit(quantize_rows)(vn)
+            self._vq.block_until_ready()
+            self._vn = None
+        elif gallery_dtype == "bf16":
+            self._vn = vn.astype(jnp.bfloat16)
+            self._vn.block_until_ready()
+            self._vq = self._vs = None
+        else:
+            raise ValueError(f"gallery_dtype {gallery_dtype!r}")
+        self.gallery_dtype = gallery_dtype
+        nbytes = int(
+            (self._vn.size * 2) if self._vn is not None
+            else (self._vq.size + self._vs.size * 4)
+        )
+        logger.info(
+            "serving %d videos (%s gallery, %.1f MB HBM), %d heads x %d dims",
+            len(self.vis_ids), gallery_dtype, nbytes / 1e6, self.heads,
+            vn.shape[1] // self.heads,
+        )
+
+    def _bucket(self, n: int) -> int:
+        for b in self._BUCKETS:
+            if n <= b:
+                return b
+        return self._BUCKETS[-1]
+
+    def search(
+        self, queries: Sequence[str], k: int = 10
+    ) -> List[List[Tuple[str, float]]]:
+        """Ranked (vis_id, score) lists, one per query, best first."""
+        if not queries:
+            return []
+        k = min(int(k), len(self.vis_ids))
+        out: List[List[Tuple[str, float]]] = []
+        with self._lock:  # one compiled executable at a time
+            for start in range(0, len(queries), self._BUCKETS[-1]):
+                chunk = list(queries[start : start + self._BUCKETS[-1]])
+                out.extend(self._search_chunk(chunk, k))
+        return out
+
+    def _search_chunk(self, chunk, k):
+        from ..ops.pallas_kernels import flatten_heads
+
+        bucket = self._bucket(len(chunk))
+        feed = EvalFeed(
+            [str(i) for i in range(len(chunk))],
+            _QueryBatcher(self._text_batcher, chunk),
+            batch_size=bucket,
+        )
+        txt_embs, _ = self.embedder.embed_txt(feed)
+        tn = flatten_heads(txt_embs)
+        if self.gallery_dtype == "int8":
+            from ..ops.quantized import quantize_rows
+
+            tq, ts = jax.jit(quantize_rows)(tn)
+            vals, idx = _score_topk_int8(tq, ts, self._vq, self._vs, k,
+                                         self.heads)
+        else:
+            vals, idx = _score_topk(tn.astype(jnp.bfloat16), self._vn, k,
+                                    self.heads)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        return [
+            [(self.vis_ids[int(j)], float(v)) for j, v in zip(row_i, row_v)]
+            for row_i, row_v in zip(idx[: len(chunk)], vals[: len(chunk)])
+        ]
