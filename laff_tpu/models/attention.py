@@ -354,6 +354,18 @@ class OfficialMHA(nn.Module):
         return jnp.mean(out, axis=1)
 
 
+def _max_token(x):
+    """Token-axis max with the gradient routed to the argmax element
+    (torch.max semantics). NOT ``jnp.max``: its VJP (mask / tie-count
+    division) fused with an upstream BatchNorm's training-mode backward
+    miscompiles to NaN grads on XLA CPU (finite eagerly, NaN under jit —
+    caught by tests/test_attention_e2e.py); the gather-by-argmax form
+    lowers to a scatter and is also bit-closer to torch, which sends the
+    whole gradient to the first maximum instead of splitting ties."""
+    idx = jax.lax.stop_gradient(jnp.argmax(x, axis=1, keepdims=True))
+    return jnp.take_along_axis(x, idx, axis=1)
+
+
 class MMTAttention(nn.Module):
     """Attention_MMT (reference ``Attention.py:244-277``): prepend the
     max-pooled token, self-attend, return the aggregate token."""
@@ -362,7 +374,7 @@ class MMTAttention(nn.Module):
 
     @nn.compact
     def __call__(self, local_embs, raw_global_emb=None, mask=None):
-        agg = jnp.max(local_embs, axis=1, keepdims=True)
+        agg = _max_token(local_embs)
         x = jnp.concatenate([agg, local_embs], axis=1)
         attn = _torch_style_mha(x, self.heads, "mha")
         out = nn.LayerNorm(name="ln")(x + attn)
@@ -401,7 +413,7 @@ class MultiHeadSelfAttention(nn.Module):
             )(x.reshape(b, -1))
             x = jnp.concatenate([cat[:, None, :], x], axis=1)
         elif self.output_type == "max_embedding":
-            x = jnp.concatenate([jnp.max(x, axis=1, keepdims=True), x], axis=1)
+            x = jnp.concatenate([_max_token(x), x], axis=1)
         elif self.output_type == "mean_embedding":
             x = jnp.concatenate([jnp.mean(x, axis=1, keepdims=True), x], axis=1)
 
