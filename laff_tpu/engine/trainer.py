@@ -155,10 +155,27 @@ def make_loss_fn(spec):
     )
 
     def loss_fn(txt_embs, vis_embs):
-        if spec.loss == "dsl":
-            return dual_softmax_loss(txt_embs, vis_embs)
-        if spec.loss == "CELoss":
-            return cross_entropy_loss(txt_embs, vis_embs)
+        if spec.loss in ("dsl", "CELoss"):
+            fn = dual_softmax_loss if spec.loss == "dsl" else cross_entropy_loss
+            if txt_embs.ndim == 3 and spec.multi_space:
+                # reference compute_loss applies the criterion per head and
+                # sums whenever multi_space (model/model.py:2036-2038) —
+                # for ANY configured criterion, not just the triplet
+                per_head = jax.vmap(fn, in_axes=(1, 1))(txt_embs, vis_embs)
+                return jnp.sum(per_head)
+            if txt_embs.ndim == 3:
+                # single space: criterion on the head-meaned score matrix
+                from ..ops import multi_head_cosine_sim
+                from ..ops.losses import (
+                    cross_entropy_loss_from_scores,
+                    dual_softmax_loss_from_scores,
+                )
+
+                scores = multi_head_cosine_sim(vis_embs, txt_embs)
+                if spec.loss == "dsl":
+                    return dual_softmax_loss_from_scores(scores)
+                return cross_entropy_loss_from_scores(scores)
+            return fn(txt_embs, vis_embs)
         if txt_embs.ndim == 3 and spec.multi_space:
             return triplet_loss_multi_space(txt_embs, vis_embs, **kwargs)
         if txt_embs.ndim == 3:

@@ -114,9 +114,8 @@ def triplet_loss_multi_space(
     return jnp.sum(per_head)
 
 
-def dual_softmax_loss(txt_embs: jnp.ndarray, vis_embs: jnp.ndarray, temp: float = 1000.0) -> jnp.ndarray:
-    """DSL: prior-reweighted symmetric InfoNCE (reference ``loss.py:291-310``)."""
-    sim1 = cosine_sim(txt_embs, vis_embs)
+def dual_softmax_loss_from_scores(sim1: jnp.ndarray, temp: float = 1000.0) -> jnp.ndarray:
+    """DSL on a precomputed (B, B) in-batch similarity matrix."""
 
     def one_side(sim: jnp.ndarray) -> jnp.ndarray:
         n = sim.shape[0]
@@ -127,13 +126,19 @@ def dual_softmax_loss(txt_embs: jnp.ndarray, vis_embs: jnp.ndarray, temp: float 
     return (one_side(sim1) + one_side(sim1.T)) / 2.0
 
 
+def dual_softmax_loss(txt_embs: jnp.ndarray, vis_embs: jnp.ndarray, temp: float = 1000.0) -> jnp.ndarray:
+    """DSL: prior-reweighted symmetric InfoNCE (reference ``loss.py:291-310``)."""
+    return dual_softmax_loss_from_scores(cosine_sim(txt_embs, vis_embs), temp)
+
+
+def cross_entropy_loss_from_scores(sim1: jnp.ndarray) -> jnp.ndarray:
+    return -jnp.sum(jnp.diagonal(sim1))
+
+
 def cross_entropy_loss(txt_embs: jnp.ndarray, vis_embs: jnp.ndarray) -> jnp.ndarray:
     """Reference CrossEntropyLoss (``loss.py:271-288``): with its diag-of-diag
     construction the loss degenerates to -sum(diag(sim)) per direction."""
-    sim1 = cosine_sim(txt_embs, vis_embs)
-    loss1 = -jnp.sum(jnp.diagonal(sim1))
-    loss2 = -jnp.sum(jnp.diagonal(sim1.T))
-    return (loss1 + loss2) / 2.0
+    return cross_entropy_loss_from_scores(cosine_sim(txt_embs, vis_embs))
 
 
 def margin_loss(
