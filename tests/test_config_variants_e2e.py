@@ -88,6 +88,16 @@ def test_feat_add_concat_trains_e2e(world):
     _run(world, "fac", lambda c: setattr(c, "vis_feat_add_concat", True))
 
 
+@pytest.mark.parametrize("rnn", ["bigru_mean", "gru_last", "gru_mean_last"])
+def test_rnn_variant_trains_e2e(world, rnn):
+    """Encoder-name decode (gru|bigru x mean|last|mean_last) through
+    build_featurizers -> GruSpec -> lax.scan encoder."""
+    def tweak(c):
+        c.text_encoding = dict(c.text_encoding, rnn_encoding={"name": rnn})
+
+    _run(world, f"rnn_{rnn}", tweak)
+
+
 def test_single_space_trains_e2e(world):
     """multi_space=False over multi-head embeddings: the single-space loss
     branch (mean-of-head-sims into triplet) instead of per-head losses."""
