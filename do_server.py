@@ -74,7 +74,12 @@ def make_handler(service, k_default: int):
                 ):
                     self._reply(400, {"error": "'queries' must be a list of strings"})
                     return
-                k = int(req.get("k", k_default))
+                k = req.get("k", k_default)
+                if not isinstance(k, int) or isinstance(k, bool) or not (
+                    1 <= k <= 10000
+                ):
+                    self._reply(400, {"error": "'k' must be an int in [1, 10000]"})
+                    return
                 results = service.search(queries, k=k)
                 self._reply(200, {"results": [
                     [{"id": vid, "score": score} for vid, score in row]

@@ -346,33 +346,44 @@ def rebuild_model(ckpt: Dict):
     return model, variables, spec
 
 
-def build_test_feeds(opt: PredictOptions, config, query_set: str, featurizers):
-    """Vision + text feeds for a test collection / query set."""
-    from ..data import TextBatcher, TextSource, VisBatcher, VisionSource, read_video_set
+def build_vis_feed(rootpath: str, collection: str, config, batch_size: int,
+                   max_frame: Optional[int] = None):
+    """Gallery feed over a collection's feature dirs -> (EvalFeed, vis_ids).
+    Shared by the batch predictor and the online RetrievalService."""
+    from ..data import VisBatcher, VisionSource, read_video_set
     from ..store import BigFile
-    from .prepare import _text_precomputed
 
-    rootpath = opt.rootpath
-    coll = opt.testCollection
     vis_files = {
-        n: BigFile(os.path.join(rootpath, coll, "FeatureData", n))
+        n: BigFile(os.path.join(rootpath, collection, "FeatureData", n))
         for n in config.vid_feats
     }
     frame_files = None
     if config.frame_feat_input:
         frame_files = {
-            n: BigFile(os.path.join(rootpath, coll, "FeatureData", "frame", n))
+            n: BigFile(os.path.join(rootpath, collection, "FeatureData",
+                                    "frame", n))
             for n in config.vid_frame_feats
         }
     vis_ids = read_video_set(
-        os.path.join(rootpath, coll, "VideoSets", coll + ".txt")
+        os.path.join(rootpath, collection, "VideoSets", collection + ".txt")
     )
     vsrc = VisionSource(vis_files, vis_ids, frame_feat_files=frame_files,
-                        max_frame=config.max_frame)
+                        max_frame=max_frame or config.max_frame)
     vis_feed = EvalFeed(
         vis_ids, VisBatcher(vsrc, with_frames=config.frame_feat_input),
-        batch_size=opt.batch_size,
+        batch_size=batch_size,
     )
+    return vis_feed, vis_ids
+
+
+def build_test_feeds(opt: PredictOptions, config, query_set: str, featurizers):
+    """Vision + text feeds for a test collection / query set."""
+    from ..data import TextBatcher, TextSource
+    from .prepare import _text_precomputed
+
+    rootpath = opt.rootpath
+    coll = opt.testCollection
+    vis_feed, vis_ids = build_vis_feed(rootpath, coll, config, opt.batch_size)
 
     capfile = os.path.join(rootpath, coll, "TextData", query_set)
     tsrc = TextSource(capfile, precomputed=_text_precomputed(config, capfile))

@@ -86,12 +86,22 @@ class RetrievalService:
         gallery_dtype: str = "bf16",
         max_frame: Optional[int] = None,
     ) -> None:
-        from ..data import TextBatcher, VisBatcher, VisionSource, read_video_set
-        from ..store import BigFile
-        import os
+        from ..data import TextBatcher
+        from .predictor import build_vis_feed
 
         ckpt = load_checkpoint(model_path)
         self.config = ckpt["config"]
+        measure = getattr(self.config, "measure", "cosine")
+        if measure != "cosine":
+            # hist (Jaccard) scoring materializes (B, V, D) intermediates —
+            # not a servable shape against an HBM-resident gallery, and
+            # silently ranking a hist-trained model by cosine would
+            # mis-serve it
+            raise ValueError(
+                f"RetrievalService only serves measure='cosine' checkpoints "
+                f"(this one was trained/validated with measure={measure!r}; "
+                "use do_predictor.py for batch evaluation)"
+            )
         featurizers = rebuild_featurizers(ckpt, rootpath)
         dead = [n for n, f in featurizers.items() if f is None]
         if dead:
@@ -110,27 +120,9 @@ class RetrievalService:
         self._lock = threading.Lock()
 
         # -- resident gallery -------------------------------------------
-        coll_dir = os.path.join(rootpath, collection)
-        vis_files = {
-            n: BigFile(os.path.join(coll_dir, "FeatureData", n))
-            for n in self.config.vid_feats
-        }
-        frame_files = None
-        if self.config.frame_feat_input:
-            frame_files = {
-                n: BigFile(os.path.join(coll_dir, "FeatureData", "frame", n))
-                for n in self.config.vid_frame_feats
-            }
-        self.vis_ids: List[str] = read_video_set(
-            os.path.join(coll_dir, "VideoSets", collection + ".txt")
-        )
-        vsrc = VisionSource(
-            vis_files, self.vis_ids, frame_feat_files=frame_files,
-            max_frame=max_frame or self.config.max_frame,
-        )
-        feed = EvalFeed(
-            self.vis_ids, VisBatcher(vsrc, with_frames=self.config.frame_feat_input),
-            batch_size=batch_size,
+        feed, self.vis_ids = build_vis_feed(
+            rootpath, collection, self.config, batch_size,
+            max_frame=max_frame,
         )
         from ..ops.pallas_kernels import flatten_heads
 
@@ -138,10 +130,12 @@ class RetrievalService:
         assert ids == self.vis_ids
         self.heads = embs.shape[1] if embs.ndim == 3 else 1
         vn = flatten_heads(embs)
+        self._quantize = None
         if gallery_dtype == "int8":
             from ..ops.quantized import quantize_rows
 
-            self._vq, self._vs = jax.jit(quantize_rows)(vn)
+            self._quantize = jax.jit(quantize_rows)
+            self._vq, self._vs = self._quantize(vn)
             self._vq.block_until_ready()
             self._vn = None
         elif gallery_dtype == "bf16":
@@ -161,6 +155,13 @@ class RetrievalService:
             vn.shape[1] // self.heads,
         )
 
+    # jit-shape buckets: both the query count AND k are static jit args of
+    # the gallery-sized score+top-k program, so each is rounded up to a
+    # fixed grid (and results sliced back) — otherwise a client cycling
+    # sizes forces a fresh compile per distinct value (latency spikes and
+    # an unbounded executable cache; on a served endpoint, a trivial DoS)
+    _K_BUCKETS = (10, 100, 1000)
+
     def _bucket(self, n: int) -> int:
         for b in self._BUCKETS:
             if n <= b:
@@ -173,15 +174,21 @@ class RetrievalService:
         """Ranked (vis_id, score) lists, one per query, best first."""
         if not queries:
             return []
-        k = min(int(k), len(self.vis_ids))
+        k = int(k)
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        k = min(k, len(self.vis_ids))
+        k_exec = next((b for b in self._K_BUCKETS if k <= b),
+                      self._K_BUCKETS[-1])
+        k_exec = min(max(k_exec, k), len(self.vis_ids))
         out: List[List[Tuple[str, float]]] = []
         with self._lock:  # one compiled executable at a time
             for start in range(0, len(queries), self._BUCKETS[-1]):
                 chunk = list(queries[start : start + self._BUCKETS[-1]])
-                out.extend(self._search_chunk(chunk, k))
+                out.extend(self._search_chunk(chunk, k, k_exec))
         return out
 
-    def _search_chunk(self, chunk, k):
+    def _search_chunk(self, chunk, k, k_exec):
         from ..ops.pallas_kernels import flatten_heads
 
         bucket = self._bucket(len(chunk))
@@ -192,18 +199,21 @@ class RetrievalService:
         )
         txt_embs, _ = self.embedder.embed_txt(feed)
         tn = flatten_heads(txt_embs)
+        if tn.shape[0] < bucket:
+            # the embedder slices its padded batch back to the real count;
+            # re-pad so the score+top-k executable only ever sees bucket
+            # shapes (padded rows are sliced off the results below)
+            tn = jnp.pad(tn, ((0, bucket - tn.shape[0]), (0, 0)))
         if self.gallery_dtype == "int8":
-            from ..ops.quantized import quantize_rows
-
-            tq, ts = jax.jit(quantize_rows)(tn)
-            vals, idx = _score_topk_int8(tq, ts, self._vq, self._vs, k,
+            tq, ts = self._quantize(tn)
+            vals, idx = _score_topk_int8(tq, ts, self._vq, self._vs, k_exec,
                                          self.heads)
         else:
-            vals, idx = _score_topk(tn.astype(jnp.bfloat16), self._vn, k,
+            vals, idx = _score_topk(tn.astype(jnp.bfloat16), self._vn, k_exec,
                                     self.heads)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         return [
             [(self.vis_ids[int(j)], float(v)) for j, v in zip(row_i, row_v)]
-            for row_i, row_v in zip(idx[: len(chunk)], vals[: len(chunk)])
+            for row_i, row_v in zip(idx[: len(chunk), :k], vals[: len(chunk), :k])
         ]

@@ -154,6 +154,19 @@ def make_loss_fn(spec):
         cost_style=spec.cost_style,
     )
 
+    def _head_mean_scores(txt_embs, vis_embs):
+        # head-meaned (im, s) score matrix honoring spec.measure, like the
+        # reference get_txt2vis_matrix (model/model.py:1003-1016): mean of
+        # per-head compute_sim over the configured measure
+        if spec.measure == "hist":
+            from ..ops import hist_sim
+
+            sims = jax.vmap(hist_sim, in_axes=(1, 1))(vis_embs, txt_embs)
+            return jnp.mean(sims, axis=0)
+        from ..ops import multi_head_cosine_sim
+
+        return multi_head_cosine_sim(vis_embs, txt_embs)
+
     def loss_fn(txt_embs, vis_embs):
         if spec.loss in ("dsl", "CELoss"):
             fn = dual_softmax_loss if spec.loss == "dsl" else cross_entropy_loss
@@ -165,13 +178,12 @@ def make_loss_fn(spec):
                 return jnp.sum(per_head)
             if txt_embs.ndim == 3:
                 # single space: criterion on the head-meaned score matrix
-                from ..ops import multi_head_cosine_sim
                 from ..ops.losses import (
                     cross_entropy_loss_from_scores,
                     dual_softmax_loss_from_scores,
                 )
 
-                scores = multi_head_cosine_sim(vis_embs, txt_embs)
+                scores = _head_mean_scores(txt_embs, vis_embs)
                 if spec.loss == "dsl":
                     return dual_softmax_loss_from_scores(scores)
                 return cross_entropy_loss_from_scores(scores)
@@ -179,10 +191,12 @@ def make_loss_fn(spec):
         if txt_embs.ndim == 3 and spec.multi_space:
             return triplet_loss_multi_space(txt_embs, vis_embs, **kwargs)
         if txt_embs.ndim == 3:
-            # single-space over multi-head embs: mean sim over heads
-            from ..ops import multi_head_cosine_sim, triplet_loss_from_scores
+            # single-space over multi-head embs: mean sim over heads, with
+            # the measure honored (a hist-trained config must not silently
+            # optimize cosine while validation ranks with Jaccard)
+            from ..ops import triplet_loss_from_scores
 
-            scores = multi_head_cosine_sim(vis_embs, txt_embs)
+            scores = _head_mean_scores(txt_embs, vis_embs)
             return triplet_loss_from_scores(
                 scores, spec.margin, spec.direction, spec.max_violation,
                 spec.cost_style,

@@ -127,6 +127,25 @@ def test_http_server(served_world):
         server.server_close()
 
 
+def test_service_rejects_hist_measure(tmp_path):
+    """A hist-trained checkpoint must not be silently served with cosine
+    ranking — the measure guard trips at construction."""
+    from laff_tpu.engine.service import RetrievalService
+
+    import laff_tpu.engine.service as S
+
+    class Cfg:
+        measure = "hist"
+
+    orig_load = S.load_checkpoint
+    S.load_checkpoint = lambda p: {"config": Cfg(), "params": {}, "spec": None}
+    try:
+        with pytest.raises(ValueError, match="measure"):
+            RetrievalService("x", str(tmp_path), "none")
+    finally:
+        S.load_checkpoint = orig_load
+
+
 def test_service_rejects_precomputed_only_text(tmp_path):
     """A config whose text side is precomputed-only cannot embed ad-hoc
     queries; the service must fail loudly at construction."""
