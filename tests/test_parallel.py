@@ -190,6 +190,40 @@ def test_trainer_mesh_with_transfer_optimizations(tmp_path, mesh):
     assert result["best_perf"] > 0.2, result
 
 
+def test_trainer_mesh_with_task2(tmp_path, mesh):
+    """task2 concept labels ride the vis batch; under a dp mesh they shard
+    on the batch axis like every other per-video array, and the concept
+    heads' BCE/triplet terms reduce over the global batch via GSPMD."""
+    import os
+
+    from helpers import build_collection, build_w2v
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.trainer import main
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=32, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=16, caps_per_video=1, seed=5)
+    build_w2v(root)
+    cap = os.path.join(root, "toytrain", "TextData", "toytrain.caption.txt")
+    objs = {}
+    with open(cap) as fh:
+        for line in fh:
+            cap_id, caption = line.strip().split(" ", 1)
+            objs.setdefault(cap_id.split("#")[0],
+                            " ".join(caption.split()[1:]))
+    with open(os.path.join(root, "toytrain", "TextData",
+                           "toytrain.caption.obj.txt"), "w") as fh:
+        fh.write("\n".join(f"{v} {w}" for v, w in objs.items()))
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=root,
+        val_set="no", config_name="tiny", num_epochs=3, batch_size=16,
+        model_prefix="mesh_t2", metric="mir",
+        task2_caption="obj", task2_intended=1,
+    )
+    result = main(opt, mesh=mesh)
+    assert result["best_perf"] > 0.2, result
+
+
 def test_predictor_data_parallel_matches_single(tmp_path, mesh):
     """--data_parallel predict: eval batches shard over the mesh; metrics
     equal the single-device run."""
