@@ -92,6 +92,59 @@ def test_avs_task_end_to_end(sweep_world, monkeypatch):
                                    atol=2e-4)
 
 
+def test_two_stage_pretrain_finetune_avs(sweep_world, monkeypatch):
+    """shell/do_pretrain_gcc_train_avs.py end to end on a synthetic world:
+    stage-1 subset pretrain (no val collection) -> stage-2 fine-tune from
+    the pretrained checkpoint -> AVS scoring (reference
+    do_pretrain_gcc_train_avs.sh:56-93)."""
+    import sys
+
+    import laff_tpu.engine.predictor as P
+
+    monkeypatch.setattr(P, "AVS_COLLECTIONS", ("toytest",))
+    build_collection(sweep_world, "gcctoy", n_videos=24, caps_per_video=2,
+                     seed=11)
+    tdir = os.path.join(sweep_world, "toytest", "TextData")
+    with open(os.path.join(tdir, "tv99.queries.txt"), "w") as fh:
+        from helpers import WORDS
+
+        for i in range(3):
+            fh.write(f"9{i:02d} the {' '.join(WORDS[i:i+4])}\n")
+    rng = np.random.default_rng(0)
+    with open(os.path.join(tdir, "avs.qrels.tv99"), "w") as fh:
+        for i in range(3):
+            for v in range(20):
+                fh.write(f"19{i:02d} 0 video{v} 1 {int(rng.random() < 0.3)}\n")
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "shell"))
+    import do_pretrain_gcc_train_avs as two_stage
+
+    rc = two_stage.main([
+        "--rootpath", sweep_world, "--pretrainCollection", "gcctoy",
+        "--trainCollection", "toytrain", "--valCollection", "toyval",
+        "--val_set", "no", "--testCollection", "toytest",
+        "--config", "tiny", "--batch_size", "12",
+        "--pretrain_epochs", "2", "--num_epochs", "2",
+        "--avs_query_sets", "tv99.queries.txt", "--avs_editions", "tv99",
+    ])
+    assert rc == 0
+    # stage-1 checkpoint exists and stage 2 consumed it
+    pre = os.path.join(sweep_world, "gcctoy", "w2vvpp_train", "gcc11val",
+                       "tiny", "gcc_pretrain_None_seed_2",
+                       "model_best.pth.tar")
+    assert os.path.exists(pre)
+    ft_dir = os.path.join(sweep_world, "toytrain", "w2vvpp_train", "toyval",
+                          "tiny")
+    runs = [d for d in os.listdir(ft_dir) if d.startswith("gccft_")]
+    assert runs, os.listdir(ft_dir)
+    # sim_name layout: <train>/<val>/<config> (avs_task's sim naming)
+    score = os.path.join(sweep_world, "toytest", "SimilarityIndex",
+                         "tv99.queries.txt", "toytrain", "toyval", "tiny",
+                         "id.sent.score.txt")
+    assert os.path.exists(score)
+    assert os.path.exists(score + ".xml")
+
+
 def test_avs_task_scores_every_checkpoint(sweep_world, monkeypatch):
     """Editions x {model_best, mean_last10}: every requested checkpoint goes
     through the score -> XML -> infAP chain (reference avs_task.sh:169-259
