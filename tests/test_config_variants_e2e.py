@@ -88,6 +88,12 @@ def test_feat_add_concat_trains_e2e(world):
     _run(world, "fac", lambda c: setattr(c, "vis_feat_add_concat", True))
 
 
+def test_bf16_compute_trains_e2e(world):
+    """config.float16 (reference AMP flag) -> bfloat16-compute towers +
+    automatic host-side bf16 feature cast, trained end to end."""
+    _run(world, "bf16", lambda c: setattr(c, "float16", True))
+
+
 @pytest.mark.parametrize("rnn", ["bigru_mean", "gru_last", "gru_mean_last"])
 def test_rnn_variant_trains_e2e(world, rnn):
     """Encoder-name decode (gru|bigru x mean|last|mean_last) through
