@@ -5,7 +5,7 @@ importer), rebuilds the model from the pickled spec/config, embeds the test
 collection once, and per query set produces:
 
 * benchmark collections: t2v + v2t metric rows appended to the
-  result_log TSVs (identical column format) and a top-500 ``t2v.pkl``
+  result_log TSVs (identical column format) and a top-2000 ``t2v.pkl``
   rank dump;
 * AVS collections (iacc.3 / v3c1): the full ``id.sent.score.txt`` ranking
   consumed by the TRECVID harness (laff_tpu.eval.trecvid).
@@ -518,7 +518,9 @@ def main(opt: PredictOptions) -> Dict:
                 from .evaluator import streaming_benchmark_eval
 
                 streaming_eval = streaming_benchmark_eval(
-                    embedder, txt_embs, txt_ids, vis_feed, topk=500
+                    # top-2000 like the reference dump threshold
+                    # (txt2video_write_to_file Threshold=2000)
+                    embedder, txt_embs, txt_ids, vis_feed, topk=2000
                 )
                 vis_ids = streaming_eval["vis_ids"]
                 scores, vis_embs = None, None
