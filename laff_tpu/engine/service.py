@@ -46,17 +46,25 @@ class _QueryBatcher:
         return self._tb.encode_captions(caps, ids)
 
 
+def _mask_tail(scores, n_valid):
+    """-inf out gallery slots beyond the live count (ingest capacity
+    padding); n_valid is a traced scalar, so growth never recompiles."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    return jnp.where(cols < n_valid, scores, -jnp.inf)
+
+
 @partial(jax.jit, static_argnames=("k", "heads"))
-def _score_topk(tn, vn, k: int, heads: int):
+def _score_topk(tn, vn, n_valid, k: int, heads: int):
     scores = jnp.dot(tn, vn.T, preferred_element_type=jnp.float32) / heads
-    return jax.lax.top_k(scores, k)
+    return jax.lax.top_k(_mask_tail(scores, n_valid), k)
 
 
 @partial(jax.jit, static_argnames=("k", "heads"))
-def _score_topk_int8(tq, ts, vq, vs, k: int, heads: int):
+def _score_topk_int8(tq, ts, vq, vs, n_valid, k: int, heads: int):
     from ..ops.quantized import int8_scores
 
-    return jax.lax.top_k(int8_scores(tq, ts, vq, vs) / heads, k)
+    scores = int8_scores(tq, ts, vq, vs) / heads
+    return jax.lax.top_k(_mask_tail(scores, n_valid), k)
 
 
 class RetrievalService:
@@ -85,6 +93,7 @@ class RetrievalService:
         batch_size: int = 512,
         gallery_dtype: str = "bf16",
         max_frame: Optional[int] = None,
+        capacity: Optional[int] = None,
     ) -> None:
         from ..data import TextBatcher
         from .predictor import build_vis_feed
@@ -130,6 +139,14 @@ class RetrievalService:
         assert ids == self.vis_ids
         self.heads = embs.shape[1] if embs.ndim == 3 else 1
         vn = flatten_heads(embs)
+        # ingest capacity: the gallery arrays preallocate to `capacity`
+        # rows (slots beyond the live count are masked -inf at query
+        # time), so add_videos() writes in place — no reallocation, no
+        # recompilation as the gallery grows
+        self._count = len(self.vis_ids)
+        self.capacity = max(int(capacity or 0), self._count)
+        if self.capacity > vn.shape[0]:
+            vn = jnp.pad(vn, ((0, self.capacity - vn.shape[0]), (0, 0)))
         self._quantize = None
         if gallery_dtype == "int8":
             from ..ops.quantized import quantize_rows
@@ -145,15 +162,78 @@ class RetrievalService:
         else:
             raise ValueError(f"gallery_dtype {gallery_dtype!r}")
         self.gallery_dtype = gallery_dtype
+        # donated in-place row writes for ingest (never reallocates)
+        self._write_rows = jax.jit(
+            lambda buf, rows, start: jax.lax.dynamic_update_slice_in_dim(
+                buf, rows, start, 0
+            ),
+            donate_argnums=(0,),
+        )
         nbytes = int(
             (self._vn.size * 2) if self._vn is not None
             else (self._vq.size + self._vs.size * 4)
         )
         logger.info(
-            "serving %d videos (%s gallery, %.1f MB HBM), %d heads x %d dims",
-            len(self.vis_ids), gallery_dtype, nbytes / 1e6, self.heads,
-            vn.shape[1] // self.heads,
+            "serving %d videos (%s gallery, capacity %d, %.1f MB HBM), "
+            "%d heads x %d dims",
+            self._count, gallery_dtype, self.capacity, nbytes / 1e6,
+            self.heads, vn.shape[1] // self.heads,
         )
+
+    def add_videos(
+        self,
+        vis_ids: Sequence[str],
+        features: Dict[str, np.ndarray],
+        batch_size: int = 64,
+    ) -> int:
+        """Live gallery ingest: embed new videos through the vis tower and
+        write them into preallocated HBM slots. ``features`` carries the
+        same arrays a VisBatcher batch would (video-level feature name ->
+        (B, D); FrameLAFF configs additionally '<name>@frames'/'@mask').
+        Returns the new live count; queries see the videos immediately."""
+        from ..ops.pallas_kernels import flatten_heads
+
+        vis_ids = list(vis_ids)
+        n = len(vis_ids)
+        if n == 0:
+            return self._count
+        dup = set(vis_ids) & set(self.vis_ids)
+        if dup:
+            raise ValueError(f"videos already served: {sorted(dup)[:5]}")
+        if self._count + n > self.capacity:
+            raise ValueError(
+                f"gallery capacity exhausted ({self._count}+{n} > "
+                f"{self.capacity}); construct with a larger capacity="
+            )
+        rows = {k: np.asarray(v) for k, v in features.items()}
+        for k, v in rows.items():
+            if v.shape[0] != n:
+                raise ValueError(f"features[{k!r}] has {v.shape[0]} rows "
+                                 f"for {n} vis_ids")
+
+        class _Rows:
+            def __call__(_s, ids):
+                idx = [int(i) for i in ids]
+                return {k: v[idx] for k, v in rows.items()}
+
+        feed = EvalFeed([str(i) for i in range(n)], _Rows(),
+                        batch_size=min(batch_size, max(n, 1)))
+        with self._lock:
+            embs, _ = self.embedder.embed_vis(feed)
+            new = flatten_heads(embs)
+            if self.gallery_dtype == "int8":
+                q, s = self._quantize(new)
+                self._vq = self._write_rows(self._vq, q, self._count)
+                self._vs = self._write_rows(self._vs, s, self._count)
+            else:
+                self._vn = self._write_rows(
+                    self._vn, new.astype(jnp.bfloat16), self._count
+                )
+            self.vis_ids.extend(vis_ids)
+            self._count += n
+        logger.info("ingested %d videos (live count %d / capacity %d)",
+                    n, self._count, self.capacity)
+        return self._count
 
     # jit-shape buckets: both the query count AND k are static jit args of
     # the gallery-sized score+top-k program, so each is rounded up to a
@@ -204,13 +284,14 @@ class RetrievalService:
             # re-pad so the score+top-k executable only ever sees bucket
             # shapes (padded rows are sliced off the results below)
             tn = jnp.pad(tn, ((0, bucket - tn.shape[0]), (0, 0)))
+        n_valid = jnp.int32(self._count)
         if self.gallery_dtype == "int8":
             tq, ts = self._quantize(tn)
-            vals, idx = _score_topk_int8(tq, ts, self._vq, self._vs, k_exec,
-                                         self.heads)
+            vals, idx = _score_topk_int8(tq, ts, self._vq, self._vs, n_valid,
+                                         k_exec, self.heads)
         else:
-            vals, idx = _score_topk(tn.astype(jnp.bfloat16), self._vn, k_exec,
-                                    self.heads)
+            vals, idx = _score_topk(tn.astype(jnp.bfloat16), self._vn,
+                                    n_valid, k_exec, self.heads)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         return [

@@ -81,6 +81,53 @@ def test_service_int8_matches_bf16_order(served_world):
         assert e[0][0] == q[0][0]
 
 
+def test_live_ingest(served_world):
+    """add_videos: new videos land in preallocated HBM slots and become
+    searchable immediately; capacity and duplicate guards trip loudly."""
+    from laff_tpu.engine.service import RetrievalService
+    from laff_tpu.store.bigfile import BigFile
+
+    root, ckpt = served_world
+    build_collection(root, "toyextra", n_videos=6, caps_per_video=1, seed=21)
+    svc = RetrievalService(ckpt, root, "toytest", capacity=24)
+    assert len(svc.vis_ids) == 20 and svc.capacity == 24
+
+    extra_ids = [f"xv{i}" for i in range(4)]
+    feats = {}
+    for name in ("clip_ft", "x3d"):
+        bf = BigFile(os.path.join(root, "toyextra", "FeatureData", name))
+        _, rows = bf.gather([f"video{i}" for i in range(4)])
+        feats[name] = rows
+    # baseline: a probe caption's results before ingest
+    probe = "the dog runs in the park"
+    before = svc.search([probe], k=20)[0]
+    assert svc.add_videos(extra_ids, feats) == 24
+    after = svc.search([probe], k=24)[0]
+    assert len(after) == 24
+    assert set(i for i, _ in after) == set(svc.vis_ids)
+    # pre-existing videos keep their scores bit-for-bit (slots untouched)
+    before_scores = dict(before)
+    after_scores = dict(after)
+    for vid, s in before_scores.items():
+        np.testing.assert_allclose(after_scores[vid], s, rtol=1e-6)
+
+    # guards: duplicates, capacity, row-count mismatch
+    with pytest.raises(ValueError, match="already served"):
+        svc.add_videos(["xv0"], {k: v[:1] for k, v in feats.items()})
+    with pytest.raises(ValueError, match="capacity"):
+        svc.add_videos(["y0"], {k: v[:1] for k, v in feats.items()})
+    svc2 = RetrievalService(ckpt, root, "toytest", capacity=30)
+    with pytest.raises(ValueError, match="rows"):
+        svc2.add_videos(["z0", "z1"], {k: v[:1] for k, v in feats.items()})
+
+    # int8 gallery ingests too
+    svc8 = RetrievalService(ckpt, root, "toytest", capacity=24,
+                            gallery_dtype="int8")
+    svc8.add_videos(extra_ids, feats)
+    r8 = svc8.search([probe], k=24)[0]
+    assert len(r8) == 24
+
+
 def test_http_server(served_world):
     import do_server
 
