@@ -7,6 +7,8 @@ serves ad-hoc text queries over stdlib HTTP:
 
   POST /search   {"queries": ["a dog runs", ...], "k": 10}
                  -> {"results": [[{"id": ..., "score": ...}, ...], ...]}
+  POST /ingest   {"ids": [...], "features": {"clip_ft": [[...], ...], ...}}
+                 -> {"count": N, "capacity": C}   (needs --capacity slots)
   GET  /healthz  -> {"ok": true, "gallery": N, "dtype": "bf16"}
 
 Example:
@@ -37,6 +39,9 @@ def parse_args(argv=None):
                    choices=["bf16", "int8"],
                    help="int8 = half the HBM, ~1.6x MXU rate, quantized "
                         "scores (measured exact top-k order at scale)")
+    p.add_argument("--capacity", type=int, default=0,
+                   help="preallocate HBM slots for POST /ingest (0 = "
+                        "gallery is read-only at its initial size)")
     return p.parse_args(argv)
 
 
@@ -62,6 +67,32 @@ def make_handler(service, k_default: int):
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/ingest":
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    ids = req.get("ids")
+                    feats = req.get("features")
+                    if (not isinstance(ids, list)
+                            or not all(isinstance(i, str) for i in ids)
+                            or not isinstance(feats, dict)):
+                        self._reply(400, {"error": "'ids' must be a list of "
+                                          "strings and 'features' a dict of "
+                                          "name -> rows"})
+                        return
+                    import numpy as _np
+
+                    arrays = {k: _np.asarray(v, dtype=_np.float32)
+                              for k, v in feats.items()}
+                    count = service.add_videos(ids, arrays)
+                    self._reply(200, {"count": count,
+                                      "capacity": service.capacity})
+                except ValueError as e:
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:
+                    logger.exception("ingest failed")
+                    self._reply(500, {"error": str(e)})
+                return
             if self.path != "/search":
                 self._reply(404, {"error": "unknown path"})
                 return
@@ -102,6 +133,7 @@ def main(argv=None):
     service = RetrievalService(
         args.model_path, args.rootpath, args.collection,
         batch_size=args.batch_size, gallery_dtype=args.gallery_dtype,
+        capacity=args.capacity or None,
     )
     server = ThreadingHTTPServer((args.host, args.port),
                                  make_handler(service, args.k_default))

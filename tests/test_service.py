@@ -169,6 +169,25 @@ def test_http_server(served_world):
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(bad, timeout=30)
         assert exc.value.code == 400
+
+        # ingest over HTTP: capacity guard surfaces as a 400 (svc has no
+        # free slots), malformed body as a 400 too
+        ing = urllib.request.Request(
+            f"http://127.0.0.1:{port}/ingest",
+            data=json.dumps({"ids": ["zz"], "features":
+                             {"clip_ft": [[0.0] * 16], "x3d": [[0.0] * 12]}}
+                            ).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(ing, timeout=60)
+        assert exc.value.code == 400
+        bad_ing = urllib.request.Request(
+            f"http://127.0.0.1:{port}/ingest",
+            data=json.dumps({"ids": "zz"}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(bad_ing, timeout=30)
+        assert exc.value.code == 400
     finally:
         server.shutdown()
         server.server_close()
