@@ -62,10 +62,15 @@ class TextBatcher:
         max_txtlength: int = 77,
         indexed_bow: bool = False,
         indexed_w2v: bool = False,
+        pad_full: bool = False,
     ) -> None:
         self.source = source
         self.featurizers = featurizers
         self.max_txtlength = max_txtlength
+        # pad variable-width arrays (netvlad tokens) to max_txtlength
+        # instead of the batch max: serving needs fixed shapes so every
+        # request reuses one compiled text tower
+        self.pad_full = pad_full
         # ship bow as (ids, counts) pairs and densify on device
         # (FusionTower scatter) — shrinks the per-caption transfer from a
         # vocab-wide dense row to ~max_txtlength int32/f32 pairs
@@ -125,7 +130,8 @@ class TextBatcher:
 
     def _netvlad_tokens(self, w2v, captions):
         rows = [w2v.raw_encoding(c) for c in captions]
-        max_t = min(max(r.shape[0] for r in rows), self.max_txtlength)
+        max_t = (self.max_txtlength if self.pad_full
+                 else min(max(r.shape[0] for r in rows), self.max_txtlength))
         dim = rows[0].shape[1]
         tokens = np.zeros((len(rows), max_t, dim), np.float32)
         mask = np.zeros((len(rows), max_t), np.float32)

@@ -125,6 +125,9 @@ class RetrievalService:
         self._text_batcher = TextBatcher(
             source=None, featurizers=featurizers,
             max_txtlength=getattr(self.config, "max_txtlength", 77),
+            # fixed widths: variable-width arrays (netvlad tokens) must not
+            # recompile the text tower per request
+            pad_full=True,
         )
         self._lock = threading.Lock()
 
