@@ -373,6 +373,21 @@ def make_train_step(model: LAFFModel, tx, spec):
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if (spec.txt.compute_dtype == "bfloat16"
+                or spec.vis.compute_dtype == "bfloat16"):
+            # reference float16/AMP parity: GradScaler skips the optimizer
+            # step when grads are non-finite (model/model.py:983-989) so
+            # one overflowed batch can't poison params or adam moments; BN
+            # stats still update (they do in the reference's forward too)
+            finite = jax.tree_util.tree_reduce(
+                lambda a, g: jnp.logical_and(a, jnp.all(jnp.isfinite(g))),
+                grads, jnp.bool_(True),
+            )
+            keep = lambda new, old: jax.tree_util.tree_map(  # noqa: E731
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+            new_params = keep(new_params, state.params)
+            new_opt_state = keep(new_opt_state, state.opt_state)
         new_state = state.replace(
             params=new_params,
             batch_stats=new_stats,

@@ -115,6 +115,64 @@ def test_frame_laff_end_to_end(tmp_path):
     assert dict(ckpt["spec"].vis.frame_features) == {"clip_frames": 16}
 
 
+def test_bf16_nonfinite_step_skipped(tmp_path):
+    """bf16-compute parity with the reference's AMP GradScaler: a batch
+    whose gradients overflow must NOT touch params or optimizer moments
+    (reference model/model.py:983-989 skips the step); the next finite
+    batch proceeds normally."""
+    import jax
+    import jax.numpy as jnp
+
+    from laff_tpu.engine import Options, prepare
+    from laff_tpu.engine.trainer import (
+        init_state, make_optimizer, make_train_step,
+    )
+    from laff_tpu.models import LAFFModel
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=16, caps_per_video=2, seed=0)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=5)
+    build_w2v(root)
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=root, val_set="no", config_name="tiny",
+                  batch_size=8, model_prefix="amp")
+    prepared = prepare(opt)
+    import dataclasses
+
+    spec = dataclasses.replace(
+        prepared.spec,
+        txt=dataclasses.replace(prepared.spec.txt, compute_dtype="bfloat16"),
+        vis=dataclasses.replace(prepared.spec.vis, compute_dtype="bfloat16"),
+    )
+    model = LAFFModel(spec)
+    tx = make_optimizer(prepared.config)
+    state = init_state(model, spec, prepared, tx)
+    step = make_train_step(model, tx, spec)
+    batch = next(iter(prepared.train_feed.epoch(0)))
+    txt = {k: jnp.asarray(v) for k, v in batch["txt"].items()}
+    vis = {k: jnp.asarray(v) for k, v in batch["vis"].items()}
+
+    bad_vis = dict(vis)
+    # NaN, not inf: tanh saturates inf to 1.0 and its grad to 0, so an inf
+    # feature never reaches the loss — NaN propagates through everything
+    bad_vis["clip_ft"] = vis["clip_ft"].at[0, 0].set(jnp.nan)
+    s_bad, loss_bad = step(state, txt, bad_vis, jax.random.key(1))
+    assert not np.isfinite(float(loss_bad))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_bad.params, state.params,
+    )
+    assert int(s_bad.step) == int(state.step) + 1  # loop continues
+
+    s_ok, loss_ok = step(s_bad, txt, vis, jax.random.key(2))
+    assert np.isfinite(float(loss_ok))
+    # the finite batch DID update
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_ok.params, s_bad.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+
+
 def test_frame_laff_cached_epochs_match_fed(tmp_path):
     """FrameLAFF's padded (V, max_frame, D) frame arrays cache bit-identically
     (the precomputed frame path truncates to the FIRST max_frame frames —
