@@ -140,7 +140,45 @@ def bench_reference_algorithm(sample_t=8192):
     return sample_t / dt
 
 
+def wait_for_backend(max_wait_s: int = 900, probe_timeout_s: int = 120):
+    """Wait out transient TPU-backend outages before importing jax here.
+
+    Backend init failure is terminal for a process (jax caches the error),
+    so probe in SUBPROCESSES and only proceed once one succeeds. The
+    remote axon backend has been observed to go UNAVAILABLE for tens of
+    minutes after a client was killed mid-compile; without this, a badly
+    timed bench run records a crash instead of a number."""
+    import subprocess
+    import sys
+
+    code = ("import jax, numpy as np, jax.numpy as jnp; "
+            "np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((4,)))); "
+            "print('ok')")
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout_s)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return
+            err = (r.stderr or r.stdout).strip().splitlines()
+            err = err[-1] if err else "unknown"
+        except subprocess.TimeoutExpired:
+            err = f"probe timed out after {probe_timeout_s}s"
+        if time.time() >= deadline:
+            print(f"# backend probe still failing after {max_wait_s}s: {err}",
+                  flush=True)
+            return  # proceed; the real run will surface the error
+        print(f"# backend probe {attempt} failed ({err}); retrying...",
+              flush=True)
+        time.sleep(60)
+
+
 def main():
+    wait_for_backend()
     name, qps_wall, wall = bench_ours()
     rtt = null_rtt()
     # headline = device-side throughput: the per-CHIP number, independent
