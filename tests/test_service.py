@@ -193,6 +193,34 @@ def test_http_server(served_world):
         server.server_close()
 
 
+def test_service_frame_laff(tmp_path):
+    """FrameLAFF checkpoints serve too: the gallery feed carries the padded
+    frame arrays through the two-level fusion tower."""
+    from laff_tpu.engine.service import RetrievalService
+
+    root = str(tmp_path)
+    build_collection(root, "toytrain", n_videos=18, caps_per_video=2, seed=1,
+                     frame_feat=True)
+    build_collection(root, "toyval", n_videos=8, caps_per_video=1, seed=6,
+                     frame_feat=True)
+    build_collection(root, "toytest", n_videos=10, caps_per_video=1, seed=9,
+                     frame_feat=True)
+    build_w2v(root)
+    result = train_main(Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=root,
+        val_set="no", config_name="tiny_frame", num_epochs=2, batch_size=6,
+        model_prefix="serve_frame",
+    ))
+    svc = RetrievalService(
+        os.path.join(result["model_path"], "model_best.pth.tar"),
+        root, "toytest",
+    )
+    out = svc.search(["the dog runs fast"], k=4)
+    assert len(out[0]) == 4
+    scores = [s for _, s in out[0]]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_service_rejects_hist_measure(tmp_path):
     """A hist-trained checkpoint must not be silently served with cosine
     ranking — the measure guard trips at construction."""
