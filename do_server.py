@@ -82,12 +82,18 @@ def make_handler(service, k_default: int):
                         return
                     import numpy as _np
 
-                    arrays = {k: _np.asarray(v, dtype=_np.float32)
-                              for k, v in feats.items()}
+                    try:
+                        arrays = {k: _np.asarray(v, dtype=_np.float32)
+                                  for k, v in feats.items()}
+                    except (TypeError, ValueError) as e:
+                        self._reply(400, {"error": f"bad feature rows: {e}"})
+                        return
                     count = service.add_videos(ids, arrays)
                     self._reply(200, {"count": count,
                                       "capacity": service.capacity})
-                except ValueError as e:
+                except (ValueError, TypeError, IndexError, KeyError) as e:
+                    # client input errors (shape/dup/capacity/unknown
+                    # feature name) are 400s, not server faults
                     self._reply(400, {"error": str(e)})
                 except Exception as e:
                     logger.exception("ingest failed")

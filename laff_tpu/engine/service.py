@@ -147,6 +147,7 @@ class RetrievalService:
         # time), so add_videos() writes in place — no reallocation, no
         # recompilation as the gallery grows
         self._count = len(self.vis_ids)
+        self._id_set = set(self.vis_ids)
         self.capacity = max(int(capacity or 0), self._count)
         if self.capacity > vn.shape[0]:
             vn = jnp.pad(vn, ((0, self.capacity - vn.shape[0]), (0, 0)))
@@ -200,30 +201,50 @@ class RetrievalService:
         n = len(vis_ids)
         if n == 0:
             return self._count
-        dup = set(vis_ids) & set(self.vis_ids)
-        if dup:
-            raise ValueError(f"videos already served: {sorted(dup)[:5]}")
-        if self._count + n > self.capacity:
-            raise ValueError(
-                f"gallery capacity exhausted ({self._count}+{n} > "
-                f"{self.capacity}); construct with a larger capacity="
-            )
-        rows = {k: np.asarray(v) for k, v in features.items()}
-        for k, v in rows.items():
-            if v.shape[0] != n:
-                raise ValueError(f"features[{k!r}] has {v.shape[0]} rows "
-                                 f"for {n} vis_ids")
+        if len(set(vis_ids)) != n:
+            raise ValueError("duplicate ids within the ingest request")
+        rows = {}
+        for k, v in features.items():
+            v = np.asarray(v, dtype=np.float32)
+            if v.ndim != 2 or v.shape[0] != n:
+                raise ValueError(
+                    f"features[{k!r}] must be ({n}, D) rows, got {v.shape}"
+                )
+            rows[k] = v
 
         class _Rows:
             def __call__(_s, ids):
                 idx = [int(i) for i in ids]
                 return {k: v[idx] for k, v in rows.items()}
 
+        # fixed embed batch: EvalFeed pads the tail chunk to batch_size, so
+        # every ingest size reuses one compiled vis tower
         feed = EvalFeed([str(i) for i in range(n)], _Rows(),
-                        batch_size=min(batch_size, max(n, 1)))
+                        batch_size=batch_size)
+        # ALL count/duplicate checks live under the lock: a concurrent
+        # ingest that passed a pre-lock check could move _count past
+        # capacity, and dynamic_update_slice CLAMPS out-of-bounds starts —
+        # it would silently overwrite the previous ingest's rows
         with self._lock:
+            dup = set(vis_ids) & self._id_set
+            if dup:
+                raise ValueError(f"videos already served: {sorted(dup)[:5]}")
+            if self._count + n > self.capacity:
+                raise ValueError(
+                    f"gallery capacity exhausted ({self._count}+{n} > "
+                    f"{self.capacity}); construct with a larger capacity="
+                )
             embs, _ = self.embedder.embed_vis(feed)
             new = flatten_heads(embs)
+            # round the written row count up to the embed batch when the
+            # headroom allows, so repeat ingests of varying sizes reuse one
+            # _write_rows executable (the pad rows land beyond _count,
+            # where queries mask them out and later ingests overwrite)
+            n_write = new.shape[0]
+            if (n_write < batch_size
+                    and self._count + batch_size <= self.capacity):
+                pad = batch_size - n_write
+                new = jnp.pad(new, ((0, pad), (0, 0)))
             if self.gallery_dtype == "int8":
                 q, s = self._quantize(new)
                 self._vq = self._write_rows(self._vq, q, self._count)
@@ -233,6 +254,7 @@ class RetrievalService:
                     self._vn, new.astype(jnp.bfloat16), self._count
                 )
             self.vis_ids.extend(vis_ids)
+            self._id_set.update(vis_ids)
             self._count += n
         logger.info("ingested %d videos (live count %d / capacity %d)",
                     n, self._count, self.capacity)
@@ -242,8 +264,10 @@ class RetrievalService:
     # the gallery-sized score+top-k program, so each is rounded up to a
     # fixed grid (and results sliced back) — otherwise a client cycling
     # sizes forces a fresh compile per distinct value (latency spikes and
-    # an unbounded executable cache; on a served endpoint, a trivial DoS)
-    _K_BUCKETS = (10, 100, 1000)
+    # an unbounded executable cache; on a served endpoint, a trivial DoS).
+    # The k grid caps at its largest bucket (clamped by the FIXED capacity,
+    # never the live count, so ingest growth cannot recompile anything).
+    _K_BUCKETS = (10, 100, 1000, 10000)
 
     def _bucket(self, n: int) -> int:
         for b in self._BUCKETS:
@@ -260,12 +284,12 @@ class RetrievalService:
         k = int(k)
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
-        k = min(k, len(self.vis_ids))
         k_exec = next((b for b in self._K_BUCKETS if k <= b),
                       self._K_BUCKETS[-1])
-        k_exec = min(max(k_exec, k), len(self.vis_ids))
+        k_exec = min(k_exec, self.capacity)
         out: List[List[Tuple[str, float]]] = []
         with self._lock:  # one compiled executable at a time
+            k = min(k, self._count, k_exec)
             for start in range(0, len(queries), self._BUCKETS[-1]):
                 chunk = list(queries[start : start + self._BUCKETS[-1]])
                 out.extend(self._search_chunk(chunk, k, k_exec))
