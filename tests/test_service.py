@@ -128,6 +128,31 @@ def test_live_ingest(served_world):
     assert len(r8) == 24
 
 
+def test_live_ingest_padded_writes(served_world):
+    """With headroom, ingest writes round up to the embed batch (one
+    compiled write shape); back-to-back ingests must not corrupt each
+    other's rows through the pad region."""
+    from laff_tpu.engine.service import RetrievalService
+    from laff_tpu.store.bigfile import BigFile
+
+    root, ckpt = served_world
+    build_collection(root, "toypad", n_videos=6, caps_per_video=1, seed=31)
+    svc = RetrievalService(ckpt, root, "toytest", capacity=200)
+    bf = {n: BigFile(os.path.join(root, "toypad", "FeatureData", n))
+          for n in ("clip_ft", "x3d")}
+
+    def feats(lo, hi):
+        return {n: b.gather([f"video{i}" for i in range(lo, hi)])[1]
+                for n, b in bf.items()}
+
+    assert svc.add_videos(["pa", "pb"], feats(0, 2)) == 22
+    assert svc.add_videos(["pc"], feats(2, 3)) == 23
+    out = svc.search(["the dog runs"], k=23)[0]
+    ids = [i for i, _ in out]
+    assert len(ids) == 23 and len(set(ids)) == 23
+    assert {"pa", "pb", "pc"} <= set(ids)
+
+
 def test_http_server(served_world):
     import do_server
 
