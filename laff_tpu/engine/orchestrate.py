@@ -44,6 +44,11 @@ class SweepOptions:
     checkpoints: List[str] = dataclasses.field(
         default_factory=lambda: ["model_best.pth.tar"]
     )
+    # train all seeds of a parm config in ONE fused vmapped program
+    # (engine/sweep.py) instead of sequential per-seed jobs — the TPU
+    # answer to the reference's PID queue over a GPU list
+    # (retrieval_task.sh:17-45)
+    batch_seeds: bool = False
 
 
 def retrieval_task(sweep: SweepOptions) -> Dict[str, Dict]:
@@ -51,6 +56,50 @@ def retrieval_task(sweep: SweepOptions) -> Dict[str, Dict]:
     (``shell/retrieval_task.sh:118-197``)."""
     from . import trainer
     from .predictor import PredictOptions, main as predict_main
+
+    if (sweep.batch_seeds and len(sweep.random_seeds) > 1
+            and sweep.trainCollection2 == "None"):
+        # pre-train all seeds of each parm config in one fused program;
+        # the per-seed loop below then finds model_best present and goes
+        # straight to prediction
+        from .sweep import sweep_main
+
+        for parm in sweep.parm_adjust_configs:
+            pending = []
+            for seed in sweep.random_seeds:
+                probe = Options(
+                    trainCollection=sweep.trainCollection,
+                    valCollection=sweep.valCollection,
+                    rootpath=sweep.rootpath,
+                    val_set=sweep.val_set,
+                    config_name=sweep.config_name,
+                    model_prefix=f"{sweep.model_prefix_base}{parm}_seed_{seed}",
+                )
+                best = os.path.join(model_dir_for(probe), "model_best.pth.tar")
+                if sweep.overwrite or not os.path.exists(best):
+                    pending.append(seed)
+            if len(pending) < 2:
+                continue  # a single pending seed trains in the loop below
+            base_opt = Options(
+                trainCollection=sweep.trainCollection,
+                valCollection=sweep.valCollection,
+                rootpath=sweep.rootpath,
+                val_set=sweep.val_set,
+                config_name=sweep.config_name,
+                parm_adjust_config=parm,
+                batch_size=sweep.batch_size,
+                num_epochs=sweep.num_epochs,
+                model_prefix=f"{sweep.model_prefix_base}{parm}",
+                overwrite=sweep.overwrite,
+                save_mean_last=sweep.save_mean_last,
+                pretrained_file_path=sweep.pretrained_file_path,
+                task3_caption=sweep.task3_caption,
+            )
+            logger.info("batched seed sweep: parm=%s seeds=%s", parm, pending)
+            sweep_main(base_opt, pending)
+    elif sweep.batch_seeds:
+        logger.info("batch_seeds requested but not applicable "
+                    "(single seed or trainCollection2); using per-seed jobs")
 
     results: Dict[str, Dict] = {}
     for seed in sweep.random_seeds:

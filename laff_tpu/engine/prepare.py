@@ -128,6 +128,17 @@ def model_dir_for(opt) -> str:
     )
 
 
+def w2v_dir_for(rootpath: str, config) -> str:
+    """The word2vec dump directory: the reference's fixed
+    vec500flickr30m layout, with a config override fallback."""
+    w2v_dir = os.path.join(rootpath, "word2vec", "flickr", "vec500flickr30m")
+    if not os.path.exists(w2v_dir):
+        alt = getattr(config, "w2v_dir", None)
+        if alt and os.path.exists(os.path.join(rootpath, alt)):
+            w2v_dir = os.path.join(rootpath, alt)
+    return w2v_dir
+
+
 def get_we(vocab, w2v_dir: str) -> np.ndarray:
     """Word-embedding init matrix: uniform(-1,1) overwritten with w2v rows
     where available (reference ``model/model.py:30-48``)."""
@@ -407,11 +418,7 @@ def build_featurizers(config, rootpath, vocab_collection, train_capfile):
     te = config.text_encoding
     rnn_encoding, pooling = te["rnn_encoding"]["name"].split("_", 1)
 
-    w2v_dir = os.path.join(rootpath, "word2vec", "flickr", "vec500flickr30m")
-    if not os.path.exists(w2v_dir):
-        alt = getattr(config, "w2v_dir", None)
-        if alt and os.path.exists(os.path.join(rootpath, alt)):
-            w2v_dir = os.path.join(rootpath, alt)
+    w2v_dir = w2v_dir_for(rootpath, config)
 
     # order matters: rnn, bert, bow, w2v, clip, netvlad (reference
     # model/model.py:558-620 insertion order)

@@ -57,7 +57,16 @@ def main(argv=None):
                              "PID queue over devices, sh:17-45). Use only "
                              "when each job has its own accelerator or runs "
                              "on CPU — jobs on one chip contend for HBM")
+    parser.add_argument("--batch_seeds", type=int, default=0,
+                        help="train all seeds of each parm config in ONE "
+                             "fused vmapped program on the chip "
+                             "(engine/sweep.py) — the TPU-native answer "
+                             "to the reference's multi-GPU PID queue. "
+                             "Mutually exclusive with --jobs > 1.")
     args = parser.parse_args(argv)
+    if args.batch_seeds and args.jobs > 1:
+        parser.error("--batch_seeds fuses seeds on one chip; --jobs "
+                     "spreads them over processes — pick one")
 
     def split(s):
         return [x for x in s.replace(",", " ").split() if x]
@@ -119,6 +128,7 @@ def main(argv=None):
         task3_caption=args.task3_caption,
         avs_query_sets=args.avs_query_sets,
         avs_editions=split(args.avs_editions) if args.avs_editions else None,
+        batch_seeds=bool(args.batch_seeds),
     )
     if sweep.avs_query_sets:
         avs_task(sweep)
