@@ -73,9 +73,22 @@ logger = get_logger(__name__)
 # state stacking
 
 
-def stack_states(states: List[TrainState]) -> TrainState:
-    """Stack S per-seed TrainStates on a new leading axis (device-side)."""
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+def stack_states(states: List[TrainState], mesh=None) -> TrainState:
+    """Stack S per-seed TrainStates on a new leading axis.
+
+    Without a mesh this is a device-side stack — note it transiently holds
+    both the per-seed buffers and the stacked copy (2× state HBM; at
+    flagship dims ~1 GB/seed with adam moments, so cap S accordingly).
+    With a mesh the stack assembles on the HOST and lands directly
+    sharded over 'dp': each device receives only its own seed slices and
+    no single device ever holds the full stack."""
+    if mesh is None:
+        return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    from ..parallel import shard_batch
+
+    host = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *states)
+    return shard_batch(host, mesh)
 
 
 def slice_state(stacked: TrainState, i: int) -> TrainState:
@@ -83,10 +96,16 @@ def slice_state(stacked: TrainState, i: int) -> TrainState:
     return jax.tree_util.tree_map(lambda x: x[i], stacked)
 
 
-def set_learning_rates(state: TrainState, lrs) -> TrainState:
-    """Per-seed learning rates into the stacked optimizer hyperparams."""
+def set_learning_rates(state: TrainState, lrs, mesh=None) -> TrainState:
+    """Per-seed learning rates into the stacked optimizer hyperparams
+    ((S,) leaf; sharded over 'dp' like the rest of the state under a mesh)."""
+    arr = jnp.asarray(lrs, dtype=jnp.float32)
+    if mesh is not None:
+        from ..parallel import shard_batch
+
+        arr = shard_batch(arr, mesh)
     opt_state = state.opt_state
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lrs, dtype=jnp.float32)
+    opt_state.hyperparams["learning_rate"] = arr
     return state.replace(opt_state=opt_state)
 
 
@@ -236,18 +255,30 @@ class _SeedView:
 
 
 def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
-               ) -> List[Dict]:
+               mesh=None) -> List[Dict]:
     """Train ``len(seeds)`` independent runs of ``opt``'s experiment in one
     fused program. Returns one ``trainer.main``-shaped result dict per
     seed; writes per-seed checkpoints/logs under per-seed model dirs
     (``<prefix>_seed_<s>`` unless ``opt.model_prefix`` already encodes the
     seed), so downstream prediction is unchanged.
 
-    Restrictions vs ``trainer.main`` (all loud): no mesh composition, no
+    With a ``mesh`` the SEED axis shards over the mesh's 'dp' devices:
+    each device trains its own seed slices with ZERO collectives (seeds
+    are independent), so an N-chip slice runs an N× wider sweep at the
+    same wall clock — the pod-scale form of the reference's one-job-per-
+    GPU queue. ``len(seeds)`` must divide by the 'dp' axis size; feature
+    caches replicate.
+
+    Restrictions vs ``trainer.main`` (all loud): no
     ``trainCollection2`` second feed, no mid-run resume.
     """
     from .prepare import prepare
 
+    if mesh is not None:
+        dp = mesh.shape.get("dp", 1)
+        if len(seeds) % dp:
+            raise ValueError(
+                f"{len(seeds)} seeds must divide the mesh 'dp' axis ({dp})")
     if getattr(opt, "trainCollection2", "None") != "None":
         raise NotImplementedError(
             "batched seed sweeps do not support trainCollection2 "
@@ -326,7 +357,10 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
         ]
         logger.info("sweep warm-started %d seeds from %s", S,
                     opt.pretrained_file_path)
-    stacked = stack_states(states)
+    # under a mesh the SEED axis is the data-parallel axis: every leaf
+    # shards its leading dim over 'dp' (GSPMD then runs each device's
+    # seed slices with no collectives at all)
+    stacked = stack_states(states, mesh=mesh)
     del states
 
     raw_step = make_train_step(model, tx, spec)
@@ -334,7 +368,12 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
     cast_txt = spec.txt.compute_dtype == "bfloat16"
     cast_vis = spec.vis.compute_dtype == "bfloat16"
     if prepared.w2v_table is not None:
-        train_step = make_w2v_pooled_train_step(train_step, prepared.w2v_table)
+        table = prepared.w2v_table
+        if mesh is not None:
+            from ..parallel import replicate
+
+            table = replicate(table, mesh)
+        train_step = make_w2v_pooled_train_step(train_step, table)
 
     # device caches: identical policy to trainer.main, shared across seeds
     budget = int(os.environ.get("LAFF_TPU_CACHE_BUDGET", 4 * 1024**3))
@@ -351,7 +390,7 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
             prepared.train_feed.vis_batcher, bf16=cast_vis) <= budget)
     if want_vis:
         vis_cache = DeviceVisCache(prepared.train_feed.vis_batcher,
-                                   bf16=cast_vis)
+                                   bf16=cast_vis, mesh=mesh)
         train_step = make_cached_train_step(train_step, vis_cache.arrays)
     txt_cache = None
     want_txt = int(getattr(opt, "device_text_cache", -1))
@@ -366,7 +405,7 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
     if want_txt:
         txt_cache = DeviceTxtCache(
             prepared.train_feed.text_batcher,
-            cap_ids=prepared.train_feed.cap_ids, bf16=cast_txt,
+            cap_ids=prepared.train_feed.cap_ids, bf16=cast_txt, mesh=mesh,
         )
         train_step = make_txt_cached_train_step(train_step, txt_cache.arrays)
     for f in feeds:
@@ -415,12 +454,12 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
 
     embedder = SweepEmbedder(model, spec)
 
-    def ckpt_payload(i, epoch, host_state):
+    def ckpt_payload(i, epoch, seed_state):
         return {
             "epoch": epoch + 1,
-            "params": host_state.params,
-            "batch_stats": host_state.batch_stats,
-            "schedule": host_state.schedule,
+            "params": seed_state["params"],
+            "batch_stats": seed_state["batch_stats"],
+            "schedule": seed_state["schedule"],
             "best_perf": best_perf[i],
             "config": config,
             "opt": (asdict(per_seed_opts[i])
@@ -433,7 +472,7 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
         if not active.any():
             break
         lrs = [c.current() for c in lr_ctls]
-        stacked = set_learning_rates(stacked, lrs)
+        stacked = set_learning_rates(stacked, lrs, mesh=mesh)
         stacked = anneal_schedule(
             stacked, config.txt_attention_global_decay_rate)
         for i in range(S):
@@ -447,7 +486,7 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
         stacked, losses = _sweep_epoch(
             sweep_step, multi_step, stacked, feeds, epoch,
             jnp.asarray(active), spd, cast_txt, cast_vis,
-            vis_cache, txt_cache, with_task3,
+            vis_cache, txt_cache, with_task3, mesh=mesh,
         )
         epoch_time = time.time() - t0
 
@@ -461,7 +500,11 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
         txt_embs, txt_ids = embedder.embed_txt(val_txt_feed)
         vis_embs, vis_ids = embedder.embed_vis(val_vis_feed)
 
-        host_state = _host(stacked)
+        # checkpoints need params/BN/schedule only — not the adam moments
+        # (2/3 of the state bytes; the fetch rides the host link)
+        host_state = _host({"params": stacked.params,
+                            "batch_stats": stacked.batch_stats,
+                            "schedule": stacked.schedule})
         for i in range(S):
             if not active[i]:
                 continue
@@ -497,7 +540,7 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
                 no_impr[i] = 0
                 mean_last[i] = []
             elif getattr(opt, "save_mean_last", 0) == 1:
-                mean_last[i].append(seed_state.params)
+                mean_last[i].append(seed_state["params"])
                 if len(mean_last[i]) > 1:
                     payload = ckpt_payload(i, epoch, seed_state)
                     payload["params"] = average_states(mean_last[i])
@@ -532,16 +575,26 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
 
 def _sweep_epoch(sweep_step, multi_step, stacked, feeds, epoch, active,
                  steps_per_dispatch, cast_txt, cast_vis, vis_cache,
-                 txt_cache, with_task3):
+                 txt_cache, with_task3, mesh=None):
     """One epoch over S aligned per-seed feeds. All feeds iterate the same
     caption set with drop_last batching, so they yield the same number of
     identically-shaped batches; step t stacks the S seeds' t-th batches on
-    a leading axis. Returns (state, per-seed mean loss (S,))."""
+    a leading axis. Returns (state, per-seed mean loss (S,)).
+
+    With a mesh, the leading seed axis of every stack shards over 'dp'
+    (axis 1 for (K, S, …) scan stacks)."""
     rng = jax.random.key(epoch)
     use_scan = multi_step is not None and steps_per_dispatch > 1
     meters = [AverageMeter() for _ in feeds]
     pending = []
     buf = []
+
+    def put(tree, seed_axis):
+        if mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        from ..parallel import shard_batch
+
+        return shard_batch(tree, mesh, axis_index=seed_axis)
 
     def stack_seed_batches(batches, key, bf16):
         lead = batches[0][key]
@@ -550,26 +603,25 @@ def _sweep_epoch(sweep_step, multi_step, stacked, feeds, epoch, active,
             arrs = [b[key][k] for b in batches]
             if bf16:
                 arrs = [host_cast_bf16({k: a})[k] for a in arrs]
-            out[k] = jnp.asarray(np.stack(arrs))
+            out[k] = np.stack(arrs)
         return out
 
     def seed_stacked_args(batches):
-        """(S, B, ...) txt/vis args for one step across seeds."""
+        """(S, B, ...) host txt/vis args for one step across seeds."""
         if txt_cache is not None:
-            txt = jnp.asarray(np.stack(
-                [txt_cache.indices(b["cap_ids"]) for b in batches]))
+            txt = np.stack(
+                [txt_cache.indices(b["cap_ids"]) for b in batches])
         else:
             txt = stack_seed_batches(batches, "txt", cast_txt)
         if vis_cache is not None:
-            vis = jnp.asarray(np.stack(
-                [vis_cache.indices(b["vis_ids"]) for b in batches]))
+            vis = np.stack(
+                [vis_cache.indices(b["vis_ids"]) for b in batches])
         else:
             vis = stack_seed_batches(batches, "vis", cast_vis)
         extra = {}
         if with_task3:
             extra["false"] = stack_seed_batches(batches, "false_txt", cast_txt)
-            extra["mask"] = jnp.asarray(
-                np.stack([b["task3_mask"] for b in batches]))
+            extra["mask"] = np.stack([b["task3_mask"] for b in batches])
         return txt, vis, extra
 
     def flush(stacked):
@@ -583,15 +635,14 @@ def _sweep_epoch(sweep_step, multi_step, stacked, feeds, epoch, active,
                 viss.append(v)
                 extras_l.append(e)
                 rngs.append(r)
-            txt_ks = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *txts)
-            vis_ks = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *viss)
+            stack_k = lambda trees: jax.tree_util.tree_map(  # noqa: E731
+                lambda *xs: np.stack(xs), *trees)
+            txt_ks = put(stack_k(txts), 1)
+            vis_ks = put(stack_k(viss), 1)
             rng_ks = jnp.stack(rngs)
             if with_task3:
-                false_ks = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *[e["false"] for e in extras_l])
-                mask_ks = jnp.stack([e["mask"] for e in extras_l])
+                false_ks = put(stack_k([e["false"] for e in extras_l]), 1)
+                mask_ks = put(np.stack([e["mask"] for e in extras_l]), 1)
                 new, losses = multi_step(stacked, txt_ks, vis_ks, rng_ks,
                                          active, false_ks, mask_ks, epoch)
             else:
@@ -603,10 +654,12 @@ def _sweep_epoch(sweep_step, multi_step, stacked, feeds, epoch, active,
             for step_batches, r in buf:
                 t, v, e = seed_stacked_args(step_batches)
                 if with_task3:
-                    new, losses = sweep_step(new, t, v, r, active,
-                                             e["false"], e["mask"], epoch)
+                    new, losses = sweep_step(new, put(t, 0), put(v, 0), r,
+                                             active, put(e["false"], 0),
+                                             put(e["mask"], 0), epoch)
                 else:
-                    new, losses = sweep_step(new, t, v, r, active)
+                    new, losses = sweep_step(new, put(t, 0), put(v, 0), r,
+                                             active)
                 pending.append(losses[None])  # (1, S)
         buf.clear()
         return new

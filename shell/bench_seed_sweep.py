@@ -37,9 +37,7 @@ def main():
 
     import __graft_entry__ as ge
     from bench_train_mfu import step_flops
-    from laff_tpu.engine.sweep import (
-        make_multi_sweep_step, make_sweep_step, stack_states,
-    )
+    from laff_tpu.engine.sweep import make_multi_sweep_step, make_sweep_step
     from laff_tpu.engine.trainer import (
         TrainState, make_cached_train_step, make_train_step,
         make_txt_cached_train_step,
@@ -55,6 +53,14 @@ def main():
     max_len = 20
 
     spec = ge._flagship_spec()
+    if "--bf16" in sys.argv:
+        import dataclasses
+
+        spec = dataclasses.replace(
+            spec,
+            txt=dataclasses.replace(spec.txt, compute_dtype="bfloat16"),
+            vis=dataclasses.replace(spec.vis, compute_dtype="bfloat16"),
+        )
     model_rng = np.random.default_rng(0)
     from laff_tpu.models import LAFFModel
 
@@ -66,10 +72,12 @@ def main():
         )
     )(learning_rate=1e-4)
 
-    def one_state(seed):
-        variables = model.init(
-            {"params": jax.random.key(seed),
-             "dropout": jax.random.key(seed + 1)}, txt, vis)
+    txt_d = {k: jnp.asarray(v) for k, v in txt.items()}
+    vis_d = {k: jnp.asarray(v) for k, v in vis.items()}
+
+    def _mk_state(key_p, key_d):
+        variables = model.init({"params": key_p, "dropout": key_d},
+                               txt_d, vis_d)
         return TrainState(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
@@ -77,6 +85,14 @@ def main():
             opt_state=tx.init(variables["params"]),
             step=jnp.zeros((), jnp.int32),
         )
+
+    def stacked_states(S):
+        # vmapped init: the (S, ...) state materializes once, directly —
+        # a device-side stack of per-seed states would transiently hold
+        # 2x the state HBM (~1 GB/seed with adam moments) and OOM at S=8
+        kp = jax.random.split(jax.random.key(11), S)
+        kd = jax.random.split(jax.random.key(13), S)
+        return jax.jit(jax.vmap(_mk_state))(kp, kd)
 
     # shared HBM caches at msrvtt10ktrain scale (bow sparse, like prod)
     n_videos, n_caps = 10_000, 130_000
@@ -106,30 +122,37 @@ def main():
     results = []
     base_per_step = None
     for S in seed_counts:
-        sweep_step = make_sweep_step(step_c)
-        multi = make_multi_sweep_step(sweep_step)
-        stacked = stack_states([one_state(s) for s in range(S)])
-        active = jnp.ones((S,), bool)
+        try:
+            sweep_step = make_sweep_step(step_c)
+            multi = make_multi_sweep_step(sweep_step)
+            stacked = stacked_states(S)
+            active = jnp.ones((S,), bool)
 
-        def stacks(i):
-            ti = jnp.asarray(irng.integers(
-                0, n_caps, (K, S, batch)).astype(np.int32))
-            vi = jnp.asarray(irng.integers(
-                0, n_videos, (K, S, batch)).astype(np.int32))
-            rngs = jax.random.split(jax.random.fold_in(key, i), K)
-            return ti, vi, rngs
+            def stacks(i):
+                ti = jnp.asarray(irng.integers(
+                    0, n_caps, (K, S, batch)).astype(np.int32))
+                vi = jnp.asarray(irng.integers(
+                    0, n_videos, (K, S, batch)).astype(np.int32))
+                rngs = jax.random.split(jax.random.fold_in(key, i), K)
+                return ti, vi, rngs
 
-        ti, vi, rngs = stacks(0)
-        stacked, losses = multi(stacked, ti, vi, rngs, active)  # compile
-        float(np.asarray(losses)[-1, -1])
-        times = []
-        for i in range(1, 6):
-            ti, vi, rngs = stacks(i)
-            t0 = time.perf_counter()
-            stacked, losses = multi(stacked, ti, vi, rngs, active)
+            ti, vi, rngs = stacks(0)
+            stacked, losses = multi(stacked, ti, vi, rngs, active)  # compile
             float(np.asarray(losses)[-1, -1])
-            times.append(time.perf_counter() - t0)
-        wall = min(times)
+            times = []
+            for i in range(1, 6):
+                ti, vi, rngs = stacks(i)
+                t0 = time.perf_counter()
+                stacked, losses = multi(stacked, ti, vi, rngs, active)
+                float(np.asarray(losses)[-1, -1])
+                times.append(time.perf_counter() - t0)
+            wall = min(times)
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            results.append({"seeds": S, "oom": True})
+            print(json.dumps(results[-1]), file=sys.stderr, flush=True)
+            break
         per_step = wall / K  # one step for ALL S seeds
         if S == seed_counts[0] and seed_counts[0] == 1:
             base_per_step = per_step
@@ -143,6 +166,7 @@ def main():
             "speedup_vs_sequential": (round(S * base_per_step / per_step, 2)
                                       if base_per_step else None),
         })
+        print(json.dumps(results[-1]), file=sys.stderr, flush=True)
         del stacked
 
     print(json.dumps({

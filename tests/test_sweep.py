@@ -187,3 +187,44 @@ def test_per_seed_learning_rates(world):
                                before))[path][0])
         for path, leaf in jax.tree_util.tree_leaves_with_path(after))
     assert moved
+
+
+def test_sweep_seed_axis_over_mesh(world):
+    """sweep_main(mesh=...) shards the seed axis over 'dp' devices with no
+    collectives; trajectories must match the unsharded sweep exactly
+    (ranks are discrete; losses to float rounding)."""
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.sweep import sweep_main
+    from laff_tpu.parallel import data_parallel_mesh
+
+    seeds = [11, 12, 13, 14]
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=world, val_set="no", config_name="tiny",
+                  num_epochs=2, batch_size=8, model_prefix="host_sweep")
+    host = sweep_main(opt, seeds)
+
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=world, val_set="no", config_name="tiny",
+                  num_epochs=2, batch_size=8, model_prefix="mesh_sweep")
+    mesh = data_parallel_mesh(4)
+    sharded = sweep_main(opt, seeds, mesh=mesh)
+
+    for h, m in zip(host, sharded):
+        assert len(h["history"]) == len(m["history"])
+        for he, me in zip(h["history"], m["history"]):
+            np.testing.assert_allclose(me["loss"], he["loss"], rtol=1e-3)
+            for k in ("r1", "r5", "r10", "medr", "mir"):
+                assert he[k] == me[k], (h["model_path"], he["epoch"], k)
+        np.testing.assert_allclose(m["best_perf"], h["best_perf"], rtol=1e-5)
+
+
+def test_sweep_mesh_requires_divisible_seeds(world):
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.sweep import sweep_main
+    from laff_tpu.parallel import data_parallel_mesh
+
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=world, val_set="no", config_name="tiny",
+                  num_epochs=1, batch_size=8, model_prefix="bad_sweep")
+    with pytest.raises(ValueError, match="divide"):
+        sweep_main(opt, [1, 2, 3], mesh=data_parallel_mesh(2))
