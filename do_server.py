@@ -42,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--capacity", type=int, default=0,
                    help="preallocate HBM slots for POST /ingest (0 = "
                         "gallery is read-only at its initial size)")
+    p.add_argument("--batch_window_ms", type=float, default=2.0,
+                   help="dynamic micro-batching: coalesce concurrent "
+                        "/search requests arriving within this window "
+                        "into one device dispatch (0 disables)")
     return p.parse_args(argv)
 
 
@@ -132,6 +136,21 @@ def make_handler(service, k_default: int):
     return Handler
 
 
+class _Front:
+    """Service facade routing search through the micro-batcher; everything
+    else (ingest, metadata) delegates to the service directly."""
+
+    def __init__(self, service, batcher):
+        self._service = service
+        self._batcher = batcher
+
+    def search(self, queries, k=10):
+        return self._batcher.search(queries, k=k)
+
+    def __getattr__(self, name):
+        return getattr(self._service, name)
+
+
 def main(argv=None):
     args = parse_args(argv)
     from laff_tpu.engine.service import RetrievalService
@@ -141,8 +160,16 @@ def main(argv=None):
         batch_size=args.batch_size, gallery_dtype=args.gallery_dtype,
         capacity=args.capacity or None,
     )
+    front = service
+    if args.batch_window_ms > 0:
+        # concurrent ThreadingHTTPServer requests coalesce into single
+        # device dispatches instead of serializing on the service lock
+        from laff_tpu.engine.service import MicroBatcher
+
+        front = _Front(service, MicroBatcher(
+            service, window_ms=args.batch_window_ms))
     server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(service, args.k_default))
+                                 make_handler(front, args.k_default))
     logger.info("serving %s on http://%s:%d (POST /search)",
                 args.collection, args.host, server.server_address[1])
     try:

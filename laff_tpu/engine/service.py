@@ -17,6 +17,7 @@ in-process API.
 from __future__ import annotations
 
 import threading
+import time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -31,6 +32,95 @@ from .evaluator import Embedder
 from .predictor import rebuild_featurizers, rebuild_model
 
 logger = get_logger(__name__)
+
+
+class MicroBatcher:
+    """Coalesce concurrent ``search`` calls into single device dispatches.
+
+    A threaded endpoint (``do_server.py`` uses ThreadingHTTPServer) would
+    otherwise serialize concurrent requests on the service lock, each
+    paying its own text-tower + score/top-k dispatch — through a tunneled
+    runtime that is a fixed ~30 ms RTT *per request*. The batcher parks
+    arriving requests on a queue; a dispatcher thread drains everything
+    queued (up to ``max_queries``) after waiting ``window_ms`` for
+    stragglers, runs ONE fused search for the union, and splits the
+    ranked lists back per request. Per-request ``k`` is honored by
+    executing at the max and truncating.
+
+    Results are identical to per-request ``search`` calls: the union is
+    concatenated in arrival order and sliced back by offset.
+    """
+
+    def __init__(self, service: "RetrievalService", window_ms: float = 2.0,
+                 max_queries: int = 512):
+        self._service = service
+        self._window = window_ms / 1e3
+        self._max = max_queries
+        self._pending: List[tuple] = []  # (queries, k, event, slot)
+        self._cv = threading.Condition()
+        self._closed = False
+        self.dispatches = 0  # fused device round trips (observability)
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="laff-microbatch")
+        self._thread.start()
+
+    def search(self, queries: Sequence[str], k: int = 10):
+        """Same contract as RetrievalService.search, batched across
+        concurrent callers."""
+        if not queries:
+            return []
+        if int(k) < 1:
+            # validate per request — a bad k must not poison the batch
+            raise ValueError(f"k must be >= 1, got {k}")
+        slot: dict = {}
+        done = threading.Event()
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._pending.append((list(queries), int(k), done, slot))
+            self._cv.notify()
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if self._closed and not self._pending:
+                    return
+            # brief straggler window: requests that arrive while the
+            # previous dispatch is in flight batch up naturally; this only
+            # pads the very front of an idle period
+            time.sleep(self._window)
+            with self._cv:
+                batch, self._pending = (self._pending[: self._max],
+                                        self._pending[self._max :])
+            queries: List[str] = []
+            for q, _k, _e, _s in batch:
+                queries.extend(q)
+            k_max = max(k for _q, k, _e, _s in batch)
+            try:
+                results = self._service.search(queries, k=k_max)
+                self.dispatches += 1
+                off = 0
+                for q, k, event, slot in batch:
+                    slot["result"] = [row[:k] for row in
+                                      results[off : off + len(q)]]
+                    off += len(q)
+                    event.set()
+            except Exception as e:  # noqa: BLE001 — deliver to callers
+                for _q, _k, event, slot in batch:
+                    slot["error"] = e
+                    event.set()
 
 
 class _QueryBatcher:

@@ -77,6 +77,55 @@ def main():
                 "qps_p50": round(batch / times[len(times) // 2], 1),
             }), flush=True)
 
+    # concurrent 1-query clients: serialized on the service lock vs
+    # coalesced by the MicroBatcher into fused dispatches
+    import threading
+
+    from laff_tpu.engine.service import MicroBatcher
+
+    svc = RetrievalService(ckpt, root, "gallery", gallery_dtype="bf16")
+    svc.search(queries[:64], k=args.k)  # warm every bucket the burst hits
+    svc.search(queries[:1], k=args.k)
+    for n_clients in (8, 32):
+        for mode in ("direct", "batched"):
+            mb = MicroBatcher(svc, window_ms=3.0) if mode == "batched" else None
+            target = mb.search if mb else svc.search
+
+            def burst():
+                lat = [None] * n_clients
+
+                def one(i):
+                    t0 = time.perf_counter()
+                    target([queries[i % len(queries)]], k=args.k)
+                    lat[i] = time.perf_counter() - t0
+
+                ts = [threading.Thread(target=one, args=(i,))
+                      for i in range(n_clients)]
+                t0 = time.perf_counter()
+                for t in ts:
+                    t.start()
+                for t in ts:
+                    t.join()
+                return time.perf_counter() - t0, lat
+
+            burst()  # warm the batched bucket
+            walls, lats = [], []
+            for _ in range(max(3, args.iters // 2)):
+                w, lat = burst()
+                walls.append(w)
+                lats.extend(lat)
+            lats.sort()
+            print(json.dumps({
+                "concurrency": n_clients, "mode": mode,
+                "burst_wall_ms": round(min(walls) * 1e3, 2),
+                "qps": round(n_clients / min(walls), 1),
+                "p50_ms": round(lats[len(lats) // 2] * 1e3, 2),
+                "p99_ms": round(lats[int(len(lats) * 0.99)] * 1e3, 2),
+                "fused_dispatches": mb.dispatches if mb else n_clients,
+            }), flush=True)
+            if mb:
+                mb.close()
+
 
 if __name__ == "__main__":
     main()
