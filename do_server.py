@@ -46,6 +46,10 @@ def parse_args(argv=None):
                    help="dynamic micro-batching: coalesce concurrent "
                         "/search requests arriving within this window "
                         "into one device dispatch (0 disables)")
+    p.add_argument("--gallery_cache", type=str, default=None,
+                   help="snapshot file (.npz) of the embedded gallery in "
+                        "serving form — restarts restore it instantly "
+                        "instead of re-running the vis tower")
     return p.parse_args(argv)
 
 
@@ -67,6 +71,8 @@ def make_handler(service, k_default: int):
                     "dtype": service.gallery_dtype,
                     "heads": service.heads,
                 })
+            elif self.path == "/metrics":
+                self._reply(200, service.metrics())
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -147,6 +153,12 @@ class _Front:
     def search(self, queries, k=10):
         return self._batcher.search(queries, k=k)
 
+    def metrics(self):
+        m = self._service.metrics()
+        m["batched_requests"] = self._batcher.requests
+        m["fused_dispatches"] = self._batcher.dispatches
+        return m
+
     def __getattr__(self, name):
         return getattr(self._service, name)
 
@@ -159,6 +171,7 @@ def main(argv=None):
         args.model_path, args.rootpath, args.collection,
         batch_size=args.batch_size, gallery_dtype=args.gallery_dtype,
         capacity=args.capacity or None,
+        gallery_cache=args.gallery_cache,
     )
     front = service
     if args.batch_window_ms > 0:

@@ -16,6 +16,7 @@ in-process API.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from functools import partial
@@ -60,6 +61,7 @@ class MicroBatcher:
         self._cv = threading.Condition()
         self._closed = False
         self.dispatches = 0  # fused device round trips (observability)
+        self.requests = 0  # caller-side search() calls coalesced
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="laff-microbatch")
         self._thread.start()
@@ -78,6 +80,7 @@ class MicroBatcher:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
             self._pending.append((list(queries), int(k), done, slot))
+            self.requests += 1
             self._cv.notify()
         done.wait()
         if "error" in slot:
@@ -184,6 +187,7 @@ class RetrievalService:
         gallery_dtype: str = "bf16",
         max_frame: Optional[int] = None,
         capacity: Optional[int] = None,
+        gallery_cache: Optional[str] = None,
     ) -> None:
         from ..data import TextBatcher
         from .predictor import build_vis_feed
@@ -222,40 +226,80 @@ class RetrievalService:
         self._lock = threading.Lock()
 
         # -- resident gallery -------------------------------------------
-        feed, self.vis_ids = build_vis_feed(
-            rootpath, collection, self.config, batch_size,
-            max_frame=max_frame,
-        )
-        from ..ops.pallas_kernels import flatten_heads
-
-        embs, ids = self.embedder.embed_vis(feed)
-        assert ids == self.vis_ids
-        self.heads = embs.shape[1] if embs.ndim == 3 else 1
-        vn = flatten_heads(embs)
-        # ingest capacity: the gallery arrays preallocate to `capacity`
-        # rows (slots beyond the live count are masked -inf at query
-        # time), so add_videos() writes in place — no reallocation, no
-        # recompilation as the gallery grows
-        self._count = len(self.vis_ids)
-        self._id_set = set(self.vis_ids)
-        self.capacity = max(int(capacity or 0), self._count)
-        if self.capacity > vn.shape[0]:
-            vn = jnp.pad(vn, ((0, self.capacity - vn.shape[0]), (0, 0)))
+        if gallery_dtype not in ("bf16", "int8"):
+            raise ValueError(f"gallery_dtype {gallery_dtype!r}")
         self._quantize = None
         if gallery_dtype == "int8":
             from ..ops.quantized import quantize_rows
 
             self._quantize = jax.jit(quantize_rows)
-            self._vq, self._vs = self._quantize(vn)
-            self._vq.block_until_ready()
-            self._vn = None
-        elif gallery_dtype == "bf16":
-            self._vn = vn.astype(jnp.bfloat16)
-            self._vn.block_until_ready()
-            self._vq = self._vs = None
+        # gallery_cache: embedding a large gallery costs one full vis-tower
+        # pass (minutes at v3c1 scale); a snapshot of the SERVING-form
+        # arrays (bf16 rows, or int8 rows + scales) keyed on the checkpoint
+        # identity + collection + dtype makes restarts instant and
+        # bit-identical to a fresh embed. Snapshots hold the INITIAL
+        # gallery only — live-ingested rows are not persisted (replay
+        # ingest sources after a restart).
+        snap = (self._load_snapshot(gallery_cache, model_path, collection,
+                                    gallery_dtype)
+                if gallery_cache else None)
+        if snap is not None:
+            self.vis_ids = [str(v) for v in snap["vis_ids"]]
+            self.heads = int(snap["heads"])
+            self._count = len(self.vis_ids)
+            self.capacity = max(int(capacity or 0), self._count)
+            pad = self.capacity - self._count
+
+            def up(a):
+                a = np.asarray(a)
+                if pad:
+                    a = np.concatenate(
+                        [a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                return jnp.asarray(a)
+
+            if gallery_dtype == "int8":
+                self._vq, self._vs = up(snap["vq"]), up(snap["vs"])
+                self._vn = None
+            else:
+                self._vn = up(snap["vn_bf16"].view(jnp.bfloat16))
+                self._vq = self._vs = None
+            logger.info("gallery restored from snapshot %s (%d videos)",
+                        gallery_cache, self._count)
         else:
-            raise ValueError(f"gallery_dtype {gallery_dtype!r}")
+            feed, self.vis_ids = build_vis_feed(
+                rootpath, collection, self.config, batch_size,
+                max_frame=max_frame,
+            )
+            from ..ops.pallas_kernels import flatten_heads
+
+            embs, ids = self.embedder.embed_vis(feed)
+            assert ids == self.vis_ids
+            self.heads = embs.shape[1] if embs.ndim == 3 else 1
+            vn = flatten_heads(embs)
+            # ingest capacity: the gallery arrays preallocate to `capacity`
+            # rows (slots beyond the live count are masked -inf at query
+            # time), so add_videos() writes in place — no reallocation, no
+            # recompilation as the gallery grows
+            self._count = len(self.vis_ids)
+            self.capacity = max(int(capacity or 0), self._count)
+            if self.capacity > vn.shape[0]:
+                vn = jnp.pad(vn, ((0, self.capacity - vn.shape[0]), (0, 0)))
+            if gallery_dtype == "int8":
+                self._vq, self._vs = self._quantize(vn)
+                self._vq.block_until_ready()
+                self._vn = None
+            else:
+                self._vn = vn.astype(jnp.bfloat16)
+                self._vn.block_until_ready()
+                self._vq = self._vs = None
+            if gallery_cache:
+                self._save_snapshot(gallery_cache, model_path, collection,
+                                    gallery_dtype)
+        self._id_set = set(self.vis_ids)
         self.gallery_dtype = gallery_dtype
+        self._stats = {"searches": 0, "queries": 0, "search_seconds": 0.0,
+                       "search_seconds_max": 0.0, "ingests": 0,
+                       "ingested_rows": 0}
         # donated in-place row writes for ingest (never reallocates)
         self._write_rows = jax.jit(
             lambda buf, rows, start: jax.lax.dynamic_update_slice_in_dim(
@@ -267,12 +311,55 @@ class RetrievalService:
             (self._vn.size * 2) if self._vn is not None
             else (self._vq.size + self._vs.size * 4)
         )
+        width = (self._vn if self._vn is not None else self._vq).shape[1]
         logger.info(
             "serving %d videos (%s gallery, capacity %d, %.1f MB HBM), "
             "%d heads x %d dims",
             self._count, gallery_dtype, self.capacity, nbytes / 1e6,
-            self.heads, vn.shape[1] // self.heads,
+            self.heads, width // self.heads,
         )
+
+    @staticmethod
+    def _snapshot_key(model_path: str, collection: str, dtype: str) -> str:
+        p = os.path.abspath(model_path)
+        return f"{p}|{os.path.getmtime(p):.6f}|{collection}|{dtype}"
+
+    def _load_snapshot(self, path: str, model_path: str, collection: str,
+                       dtype: str):
+        if not os.path.exists(path):
+            return None
+        try:
+            snap = np.load(path, allow_pickle=False)
+        except (OSError, ValueError) as e:
+            logger.warning("gallery snapshot %s unreadable (%s); re-embedding",
+                           path, e)
+            return None
+        key = self._snapshot_key(model_path, collection, dtype)
+        if str(snap["key"]) != key:
+            logger.info("gallery snapshot %s is for a different "
+                        "checkpoint/collection/dtype; re-embedding", path)
+            return None
+        return snap
+
+    def _save_snapshot(self, path: str, model_path: str, collection: str,
+                       dtype: str) -> None:
+        arrays = {
+            "key": np.asarray(
+                self._snapshot_key(model_path, collection, dtype)),
+            "vis_ids": np.asarray(self.vis_ids),
+            "heads": np.asarray(self.heads),
+        }
+        n = self._count  # persist live rows only, not preallocated slots
+        if dtype == "int8":
+            arrays["vq"] = np.asarray(self._vq[:n])
+            arrays["vs"] = np.asarray(self._vs[:n])
+        else:
+            arrays["vn_bf16"] = np.asarray(self._vn[:n]).view(np.uint16)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, path)
+        logger.info("gallery snapshot written to %s (%d videos)", path, n)
 
     def add_videos(
         self,
@@ -346,6 +433,8 @@ class RetrievalService:
             self.vis_ids.extend(vis_ids)
             self._id_set.update(vis_ids)
             self._count += n
+            self._stats["ingests"] += 1
+            self._stats["ingested_rows"] += n
         logger.info("ingested %d videos (live count %d / capacity %d)",
                     n, self._count, self.capacity)
         return self._count
@@ -378,12 +467,31 @@ class RetrievalService:
                       self._K_BUCKETS[-1])
         k_exec = min(k_exec, self.capacity)
         out: List[List[Tuple[str, float]]] = []
+        t0 = time.perf_counter()
         with self._lock:  # one compiled executable at a time
             k = min(k, self._count, k_exec)
             for start in range(0, len(queries), self._BUCKETS[-1]):
                 chunk = list(queries[start : start + self._BUCKETS[-1]])
                 out.extend(self._search_chunk(chunk, k, k_exec))
+            self._stats["searches"] += 1
+            self._stats["queries"] += len(queries)
+            dt = time.perf_counter() - t0
+            self._stats["search_seconds"] += dt
+            self._stats["search_seconds_max"] = max(
+                self._stats["search_seconds_max"], dt)
         return out
+
+    def metrics(self) -> Dict:
+        """Counters for the /metrics endpoint (JSON-serializable)."""
+        with self._lock:
+            s = dict(self._stats)
+        s.update(
+            gallery=self._count,
+            capacity=self.capacity,
+            dtype=self.gallery_dtype,
+            heads=self.heads,
+        )
+        return s
 
     def _search_chunk(self, chunk, k, k_exec):
         from ..ops.pallas_kernels import flatten_heads

@@ -395,3 +395,67 @@ def test_http_server_with_micro_batching(served_world):
         server.shutdown()
         server.server_close()
         mb.close()
+
+
+def test_gallery_snapshot_roundtrip(served_world, tmp_path):
+    """A snapshot restore must serve bit-identical rankings to the fresh
+    embed it was taken from, for both gallery dtypes; a stale snapshot
+    (different checkpoint identity) is rejected and re-embedded."""
+    from laff_tpu.engine.service import RetrievalService
+
+    root, ckpt = served_world
+    caps = list(_test_captions(root).values())[:4]
+    for dtype in ("bf16", "int8"):
+        cache = str(tmp_path / f"gal_{dtype}.npz")
+        fresh = RetrievalService(ckpt, root, "toytest", gallery_dtype=dtype,
+                                 gallery_cache=cache)
+        assert os.path.exists(cache)
+        want = fresh.search(caps, k=5)
+        if dtype == "bf16":
+            want_bf16 = want
+        restored = RetrievalService(ckpt, root, "toytest",
+                                    gallery_dtype=dtype,
+                                    gallery_cache=cache)
+        assert restored.vis_ids == fresh.vis_ids
+        assert restored.search(caps, k=5) == want
+
+        # restored galleries still ingest (capacity beyond the snapshot)
+        svc = RetrievalService(ckpt, root, "toytest", gallery_dtype=dtype,
+                               gallery_cache=cache, capacity=25)
+        feats = {"clip_ft": np.random.default_rng(3).standard_normal(
+                     (2, 16)).astype(np.float32),
+                 "x3d": np.random.default_rng(4).standard_normal(
+                     (2, 12)).astype(np.float32)}
+        assert svc.add_videos(["zz1", "zz2"], feats) == 22
+
+    # stale key: touching the checkpoint invalidates the snapshot
+    cache = str(tmp_path / "gal_bf16.npz")
+    os.utime(ckpt, (1, 1))
+    again = RetrievalService(ckpt, root, "toytest", gallery_cache=cache)
+    assert again.search(caps, k=5) == want_bf16  # re-embedded, same model
+
+
+def test_service_metrics(served_world):
+    from laff_tpu.engine.service import RetrievalService
+
+    root, ckpt = served_world
+    svc = RetrievalService(ckpt, root, "toytest")
+    caps = list(_test_captions(root).values())
+    svc.search(caps[:3], k=2)
+    svc.search(caps[:1], k=2)
+    m = svc.metrics()
+    assert m["searches"] == 2 and m["queries"] == 4
+    assert m["gallery"] == 20 and m["dtype"] == "bf16"
+    assert m["search_seconds"] > 0
+    import do_server
+    from laff_tpu.engine.service import MicroBatcher
+
+    mb = MicroBatcher(svc, window_ms=1.0)
+    try:
+        front = do_server._Front(svc, mb)
+        front.search(caps[:2], k=2)
+        m = front.metrics()
+        assert m["batched_requests"] == 1 and m["fused_dispatches"] == 1
+        assert m["searches"] == 3  # batcher dispatches through the service
+    finally:
+        mb.close()
