@@ -50,6 +50,11 @@ def parse_args(argv=None):
                    help="snapshot file (.npz) of the embedded gallery in "
                         "serving form — restarts restore it instantly "
                         "instead of re-running the vis tower")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="shard the gallery rows over an N-device mesh "
+                        "(local top-k + k-row all_gather merge): N chips "
+                        "serve an N-times larger gallery (2N x with "
+                        "--gallery_dtype int8). 0 = single device")
     return p.parse_args(argv)
 
 
@@ -167,11 +172,17 @@ def main(argv=None):
     args = parse_args(argv)
     from laff_tpu.engine.service import RetrievalService
 
+    mesh = None
+    if args.mesh_devices > 1:
+        from laff_tpu.parallel import data_parallel_mesh
+
+        mesh = data_parallel_mesh(args.mesh_devices)
     service = RetrievalService(
         args.model_path, args.rootpath, args.collection,
         batch_size=args.batch_size, gallery_dtype=args.gallery_dtype,
         capacity=args.capacity or None,
         gallery_cache=args.gallery_cache,
+        mesh=mesh,
     )
     front = service
     if args.batch_window_ms > 0:

@@ -160,6 +160,69 @@ def _score_topk_int8(tq, ts, vq, vs, n_valid, k: int, heads: int):
     return jax.lax.top_k(_mask_tail(scores, n_valid), k)
 
 
+def _make_sharded_scorers(mesh, axis: str = "dp"):
+    """Mesh analogs of _score_topk / _score_topk_int8: the gallery rows
+    are sharded over ``axis``, each device scores its shard and takes a
+    local top-k, and only k candidate rows per device ride the
+    interconnect (all_gather + merge) — the live-serving form of
+    ``parallel.sim_engine.sharded_topk`` with a TRACED live-row count so
+    ingest growth never recompiles."""
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+
+    def _merge(vals, gidx, k, k_local):
+        all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+        fvals, fpos = jax.lax.top_k(all_vals, min(k, k_local * n))
+        return fvals, jnp.take_along_axis(all_idx, fpos, axis=1)
+
+    @partial(jax.jit, static_argnames=("k", "heads"))
+    def bf16_topk(tn, vn, n_valid, k: int, heads: int):
+        shard = vn.shape[0] // n
+        k_local = min(k, shard)
+
+        def local(tn_, n_valid_, vn_local):
+            col0 = jax.lax.axis_index(axis) * shard
+            scores = jnp.dot(tn_, vn_local.T,
+                             preferred_element_type=jnp.float32) / heads
+            cols = col0 + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1)
+            scores = jnp.where(cols < n_valid_, scores, -jnp.inf)
+            vals, li = jax.lax.top_k(scores, k_local)
+            return _merge(vals, li + col0, k, k_local)
+
+        fn = jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(), P(axis)),
+            out_specs=(P(), P()), check_vma=False,
+        )
+        return fn(tn, n_valid, vn)
+
+    @partial(jax.jit, static_argnames=("k", "heads"))
+    def int8_topk(tq, ts, vq, vs, n_valid, k: int, heads: int):
+        from ..ops.quantized import int8_scores
+
+        shard = vq.shape[0] // n
+        k_local = min(k, shard)
+
+        def local(tq_, ts_, n_valid_, vq_local, vs_local):
+            col0 = jax.lax.axis_index(axis) * shard
+            scores = int8_scores(tq_, ts_, vq_local, vs_local) / heads
+            cols = col0 + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1)
+            scores = jnp.where(cols < n_valid_, scores, -jnp.inf)
+            vals, li = jax.lax.top_k(scores, k_local)
+            return _merge(vals, li + col0, k, k_local)
+
+        fn = jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(), P(), P(axis), P(axis)),
+            out_specs=(P(), P()), check_vma=False,
+        )
+        return fn(tq, ts, n_valid, vq, vs)
+
+    return bf16_topk, int8_topk
+
+
 class RetrievalService:
     """Checkpoint + feature collection -> live text-to-video search.
 
@@ -188,6 +251,7 @@ class RetrievalService:
         max_frame: Optional[int] = None,
         capacity: Optional[int] = None,
         gallery_cache: Optional[str] = None,
+        mesh=None,
     ) -> None:
         from ..data import TextBatcher
         from .predictor import build_vis_feed
@@ -243,11 +307,20 @@ class RetrievalService:
         snap = (self._load_snapshot(gallery_cache, model_path, collection,
                                     gallery_dtype)
                 if gallery_cache else None)
+        def _cap(n_live: int) -> int:
+            cap = max(int(capacity or 0), n_live)
+            if mesh is not None:
+                # gallery rows shard over 'dp': round the preallocation up
+                # so every device owns an equal slab
+                dp = mesh.shape.get("dp", 1)
+                cap = -(-cap // dp) * dp
+            return cap
+
         if snap is not None:
             self.vis_ids = [str(v) for v in snap["vis_ids"]]
             self.heads = int(snap["heads"])
             self._count = len(self.vis_ids)
-            self.capacity = max(int(capacity or 0), self._count)
+            self.capacity = _cap(self._count)
             pad = self.capacity - self._count
 
             def up(a):
@@ -281,7 +354,7 @@ class RetrievalService:
             # time), so add_videos() writes in place — no reallocation, no
             # recompilation as the gallery grows
             self._count = len(self.vis_ids)
-            self.capacity = max(int(capacity or 0), self._count)
+            self.capacity = _cap(self._count)
             if self.capacity > vn.shape[0]:
                 vn = jnp.pad(vn, ((0, self.capacity - vn.shape[0]), (0, 0)))
             if gallery_dtype == "int8":
@@ -297,6 +370,21 @@ class RetrievalService:
                                     gallery_dtype)
         self._id_set = set(self.vis_ids)
         self.gallery_dtype = gallery_dtype
+        self.mesh = mesh
+        if mesh is not None:
+            # shard the resident gallery rows over 'dp' and route scoring
+            # through shard_map local-topk + k-row all_gather merges —
+            # n chips serve an n-times larger gallery (2n x for int8)
+            from ..parallel import shard_batch
+
+            if self._vn is not None:
+                self._vn = shard_batch(self._vn, mesh)
+            else:
+                self._vq = shard_batch(self._vq, mesh)
+                self._vs = shard_batch(self._vs, mesh)
+            self._topk_bf16, self._topk_int8 = _make_sharded_scorers(mesh)
+        else:
+            self._topk_bf16, self._topk_int8 = _score_topk, _score_topk_int8
         self._stats = {"searches": 0, "queries": 0, "search_seconds": 0.0,
                        "search_seconds_max": 0.0, "ingests": 0,
                        "ingested_rows": 0}
@@ -512,11 +600,11 @@ class RetrievalService:
         n_valid = jnp.int32(self._count)
         if self.gallery_dtype == "int8":
             tq, ts = self._quantize(tn)
-            vals, idx = _score_topk_int8(tq, ts, self._vq, self._vs, n_valid,
-                                         k_exec, self.heads)
+            vals, idx = self._topk_int8(tq, ts, self._vq, self._vs, n_valid,
+                                        k_exec, self.heads)
         else:
-            vals, idx = _score_topk(tn.astype(jnp.bfloat16), self._vn,
-                                    n_valid, k_exec, self.heads)
+            vals, idx = self._topk_bf16(tn.astype(jnp.bfloat16), self._vn,
+                                        n_valid, k_exec, self.heads)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         return [

@@ -459,3 +459,39 @@ def test_service_metrics(served_world):
         assert m["searches"] == 3  # batcher dispatches through the service
     finally:
         mb.close()
+
+
+def test_service_sharded_gallery_over_mesh(served_world):
+    """mesh= shards the resident gallery rows over 'dp' (local top-k +
+    k-row all_gather merge). Rankings must match the single-device
+    service for both dtypes, and ingest must keep working on the sharded
+    buffers."""
+    from laff_tpu.engine.service import RetrievalService
+    from laff_tpu.parallel import data_parallel_mesh
+    from laff_tpu.store.bigfile import BigFile
+
+    root, ckpt = served_world
+    caps = list(_test_captions(root).values())[:6]
+    mesh = data_parallel_mesh(4)
+    for dtype in ("bf16", "int8"):
+        single = RetrievalService(ckpt, root, "toytest", gallery_dtype=dtype)
+        sharded = RetrievalService(ckpt, root, "toytest",
+                                   gallery_dtype=dtype, mesh=mesh)
+        want = single.search(caps, k=7)
+        got = sharded.search(caps, k=7)
+        for w, g in zip(want, got):
+            assert [i for i, _ in g] == [i for i, _ in w]
+            np.testing.assert_allclose([s for _, s in g],
+                                       [s for _, s in w], rtol=1e-5)
+
+    # capacity rounds up to the dp axis; ingest writes into sharded slabs
+    build_collection(root, "toymesh", n_videos=4, caps_per_video=1, seed=41)
+    svc = RetrievalService(ckpt, root, "toytest", capacity=25, mesh=mesh)
+    assert svc.capacity == 28  # 25 rounded up to 4 devices
+    feats = {n: BigFile(os.path.join(root, "toymesh", "FeatureData", n)
+                        ).gather([f"video{i}" for i in range(3)])[1]
+             for n in ("clip_ft", "x3d")}
+    assert svc.add_videos(["ma", "mb", "mc"], feats) == 23
+    out = svc.search(["the dog runs"], k=23)[0]
+    ids = [i for i, _ in out]
+    assert len(set(ids)) == 23 and {"ma", "mb", "mc"} <= set(ids)
