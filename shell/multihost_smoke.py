@@ -95,6 +95,28 @@ def worker(pid: int, port: int) -> None:
     np.testing.assert_allclose(
         g, np.asarray(jax.grad(loss)(w, jnp.asarray(x))), rtol=1e-5, atol=1e-6
     )
+
+    # live-serving scorers (traced row count, gallery rows sharded over
+    # the 4 global devices spanning both hosts): must match the host
+    # oracle's top-k set with the tail masked
+    from laff_tpu.engine.service import _make_sharded_scorers
+
+    bf16_topk, _ = _make_sharded_scorers(mesh)
+    cap = 44  # capacity padded to the mesh; live count stays 43
+    vn_pad = np.zeros((cap, vn.shape[1]), np.float32)
+    vn_pad[:n_vis] = vn
+    svals, sidx = bf16_topk(
+        jnp.asarray(tn).astype(jnp.bfloat16),
+        shard_batch(jnp.asarray(vn_pad).astype(jnp.bfloat16), mesh),
+        jnp.int32(n_vis), 7, heads)
+    bf_scores = (tn.astype(np.float32) @ vn.T.astype(np.float32)) / heads
+    # bf16 rounding: compare the top-k SETS per query at bf16 tolerance
+    sidx = np.asarray(sidx)
+    for q in range(n_txt):
+        want = set(np.argsort(-bf_scores[q])[:7].tolist())
+        got = set(sidx[q].tolist())
+        assert len(got & want) >= 6, (q, got, want)  # 1 bf16 tie swap ok
+        assert all(j < n_vis for j in got)  # masked tail never nominated
     print(f"MULTIHOST-OK proc={pid} ranks_head={ranks[:4].tolist()}", flush=True)
 
 
