@@ -73,6 +73,37 @@ logger = get_logger(__name__)
 # state stacking
 
 
+def _sweep_axes(mesh):
+    """(seed_axis, batch_axis) names for a sweep mesh. 1-D meshes put the
+    seed axis on 'dp'; a 2-D ('seed', 'dp') mesh (parallel.seed_data_mesh)
+    additionally shards each seed's batch over 'dp'."""
+    if mesh is None:
+        return None, None
+    if "seed" in mesh.shape:
+        return "seed", ("dp" if "dp" in mesh.shape else None)
+    return "dp", None
+
+
+def _put_sweep(tree, mesh, seed_index: int):
+    """Device-put a host pytree with the seed axis (at ``seed_index``)
+    sharded over the mesh's seed axis and, on a 2-D mesh, the following
+    (per-seed batch) axis sharded over 'dp'."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    seed_ax, batch_ax = _sweep_axes(mesh)
+
+    def put(x):
+        x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
+        spec = [None] * x.ndim
+        spec[seed_index] = seed_ax
+        if batch_ax is not None and x.ndim > seed_index + 1:
+            spec[seed_index + 1] = batch_ax
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def stack_states(states: List[TrainState], mesh=None) -> TrainState:
     """Stack S per-seed TrainStates on a new leading axis.
 
@@ -80,15 +111,31 @@ def stack_states(states: List[TrainState], mesh=None) -> TrainState:
     both the per-seed buffers and the stacked copy (2× state HBM; at
     flagship dims ~1 GB/seed with adam moments, so cap S accordingly).
     With a mesh the stack assembles on the HOST and lands directly
-    sharded over 'dp': each device receives only its own seed slices and
-    no single device ever holds the full stack."""
+    sharded over the seed axis: each device receives only its own seed
+    slices and no single device ever holds the full stack (on a 2-D
+    ('seed', 'dp') mesh, a seed's state replicates across its dp group)."""
     if mesh is None:
         return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
-    from ..parallel import shard_batch
-
     host = jax.tree_util.tree_map(
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *states)
-    return shard_batch(host, mesh)
+    return _put_sweep_state(host, mesh)
+
+
+def _put_sweep_state(host_state, mesh):
+    """States shard the seed axis only — params/opt leaves replicate
+    across each seed's 'dp' group."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    seed_ax, _ = _sweep_axes(mesh)
+
+    def put(x):
+        spec = [None] * np.ndim(x)
+        if spec:
+            spec[0] = seed_ax
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, host_state)
 
 
 def slice_state(stacked: TrainState, i: int) -> TrainState:
@@ -98,12 +145,12 @@ def slice_state(stacked: TrainState, i: int) -> TrainState:
 
 def set_learning_rates(state: TrainState, lrs, mesh=None) -> TrainState:
     """Per-seed learning rates into the stacked optimizer hyperparams
-    ((S,) leaf; sharded over 'dp' like the rest of the state under a mesh)."""
-    arr = jnp.asarray(lrs, dtype=jnp.float32)
+    ((S,) leaf; sharded over the seed axis like the rest of the state)."""
+    arr = np.asarray(lrs, dtype=np.float32)
     if mesh is not None:
-        from ..parallel import shard_batch
-
-        arr = shard_batch(arr, mesh)
+        arr = _put_sweep_state(arr, mesh)
+    else:
+        arr = jnp.asarray(arr)
     opt_state = state.opt_state
     opt_state.hyperparams["learning_rate"] = arr
     return state.replace(opt_state=opt_state)
@@ -262,12 +309,15 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
     (``<prefix>_seed_<s>`` unless ``opt.model_prefix`` already encodes the
     seed), so downstream prediction is unchanged.
 
-    With a ``mesh`` the SEED axis shards over the mesh's 'dp' devices:
-    each device trains its own seed slices with ZERO collectives (seeds
-    are independent), so an N-chip slice runs an N× wider sweep at the
-    same wall clock — the pod-scale form of the reference's one-job-per-
-    GPU queue. ``len(seeds)`` must divide by the 'dp' axis size; feature
-    caches replicate.
+    With a 1-D ``mesh`` the SEED axis shards over the mesh's 'dp'
+    devices: each device trains its own seed slices with ZERO collectives
+    (seeds are independent), so an N-chip slice runs an N× wider sweep at
+    the same wall clock — the pod-scale form of the reference's
+    one-job-per-GPU queue. With a 2-D ('seed', 'dp') mesh
+    (``parallel.seed_data_mesh``) each seed's batch additionally shards
+    over its 'dp' group (GSPMD inserts the gradient/BN collectives within
+    the group; nothing crosses seed rows). ``len(seeds)`` must divide the
+    seed axis and ``batch_size`` the 'dp' axis; feature caches replicate.
 
     Restrictions vs ``trainer.main`` (all loud): no
     ``trainCollection2`` second feed, no mid-run resume.
@@ -275,10 +325,16 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
     from .prepare import prepare
 
     if mesh is not None:
-        dp = mesh.shape.get("dp", 1)
-        if len(seeds) % dp:
+        seed_ax, batch_ax = _sweep_axes(mesh)
+        n_seed_devs = mesh.shape.get(seed_ax, 1)
+        if len(seeds) % n_seed_devs:
             raise ValueError(
-                f"{len(seeds)} seeds must divide the mesh 'dp' axis ({dp})")
+                f"{len(seeds)} seeds must divide the mesh "
+                f"{seed_ax!r} axis ({n_seed_devs})")
+        if batch_ax is not None and opt.batch_size % mesh.shape[batch_ax]:
+            raise ValueError(
+                f"batch_size {opt.batch_size} must divide the mesh "
+                f"'dp' axis ({mesh.shape[batch_ax]})")
     if getattr(opt, "trainCollection2", "None") != "None":
         raise NotImplementedError(
             "batched seed sweeps do not support trainCollection2 "
@@ -592,9 +648,7 @@ def _sweep_epoch(sweep_step, multi_step, stacked, feeds, epoch, active,
     def put(tree, seed_axis):
         if mesh is None:
             return jax.tree_util.tree_map(jnp.asarray, tree)
-        from ..parallel import shard_batch
-
-        return shard_batch(tree, mesh, axis_index=seed_axis)
+        return _put_sweep(tree, mesh, seed_axis)
 
     def stack_seed_batches(batches, key, bf16):
         lead = batches[0][key]

@@ -1,5 +1,5 @@
 from .mesh import (data_parallel_mesh, initialize_multihost,
-                   replicate, shard_batch)
+                   replicate, seed_data_mesh, shard_batch)
 
 __all__ = ["data_parallel_mesh", "initialize_multihost",
-           "shard_batch", "replicate"]
+           "seed_data_mesh", "shard_batch", "replicate"]

@@ -59,6 +59,17 @@ def data_parallel_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mes
     return Mesh(np.asarray(devices), (axis,))
 
 
+def seed_data_mesh(n_seed: int, n_dp: int) -> Mesh:
+    """2-D ('seed', 'dp') mesh for fused sweeps with data parallelism
+    inside each seed (engine/sweep.py): seed slices stay independent
+    (no cross-seed collectives) while each seed's batch shards n_dp-way."""
+    devices = jax.devices()[: n_seed * n_dp]
+    if len(devices) < n_seed * n_dp:
+        raise ValueError(
+            f"need {n_seed * n_dp} devices, have {len(jax.devices())}")
+    return Mesh(np.asarray(devices).reshape(n_seed, n_dp), ("seed", "dp"))
+
+
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "dp",
                 axis_index: int = 0) -> Dict:
     """Shard every array along its batch axis (``axis_index``; default the

@@ -228,3 +228,38 @@ def test_sweep_mesh_requires_divisible_seeds(world):
                   num_epochs=1, batch_size=8, model_prefix="bad_sweep")
     with pytest.raises(ValueError, match="divide"):
         sweep_main(opt, [1, 2, 3], mesh=data_parallel_mesh(2))
+
+
+def test_sweep_2d_seed_dp_mesh(world):
+    """A ('seed', 'dp') mesh shards seeds over rows and each seed's batch
+    over its dp group; trajectories must match the unsharded sweep (GSPMD
+    inserts the within-seed collectives; nothing crosses seed rows)."""
+    from laff_tpu.engine import Options
+    from laff_tpu.engine.sweep import sweep_main
+    from laff_tpu.parallel import seed_data_mesh
+
+    seeds = [21, 22]
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=world, val_set="no", config_name="tiny",
+                  num_epochs=2, batch_size=8, model_prefix="host2d")
+    host = sweep_main(opt, seeds)
+
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=world, val_set="no", config_name="tiny",
+                  num_epochs=2, batch_size=8, model_prefix="mesh2d")
+    sharded = sweep_main(opt, seeds, mesh=seed_data_mesh(2, 2))
+
+    for h, m in zip(host, sharded):
+        for he, me in zip(h["history"], m["history"]):
+            np.testing.assert_allclose(me["loss"], he["loss"], rtol=1e-3)
+            for k in ("r1", "r5", "r10", "medr", "mir"):
+                assert he[k] == me[k], (h["model_path"], he["epoch"], k)
+        np.testing.assert_allclose(m["best_perf"], h["best_perf"],
+                                   rtol=1e-5)
+
+    # batch not divisible by dp -> loud error
+    opt = Options(trainCollection="toytrain", valCollection="toyval",
+                  rootpath=world, val_set="no", config_name="tiny",
+                  num_epochs=1, batch_size=9, model_prefix="bad2d")
+    with pytest.raises(ValueError, match="batch_size"):
+        sweep_main(opt, seeds, mesh=seed_data_mesh(2, 2))
