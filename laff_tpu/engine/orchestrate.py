@@ -57,6 +57,7 @@ def retrieval_task(sweep: SweepOptions) -> Dict[str, Dict]:
     from . import trainer
     from .predictor import PredictOptions, main as predict_main
 
+    sweep_trained = set()  # (seed, parm) combos the fused sweep handled
     if (sweep.batch_seeds and len(sweep.random_seeds) > 1
             and sweep.trainCollection2 == "None"):
         # pre-train all seeds of each parm config in one fused program;
@@ -97,6 +98,7 @@ def retrieval_task(sweep: SweepOptions) -> Dict[str, Dict]:
             )
             logger.info("batched seed sweep: parm=%s seeds=%s", parm, pending)
             sweep_main(base_opt, pending)
+            sweep_trained.update((s, parm) for s in pending)
     elif sweep.batch_seeds:
         logger.info("batch_seeds requested but not applicable "
                     "(single seed or trainCollection2); using per-seed jobs")
@@ -123,7 +125,12 @@ def retrieval_task(sweep: SweepOptions) -> Dict[str, Dict]:
                 task3_caption=sweep.task3_caption,
             )
             best_ckpt = os.path.join(model_dir_for(opt), "model_best.pth.tar")
-            if os.path.exists(best_ckpt) and not sweep.overwrite:
+            if (seed, parm) in sweep_trained:
+                # trained by the fused sweep THIS invocation — never
+                # re-train it here, even under --overwrite
+                train_result = {"model_path": model_dir_for(opt),
+                                "skipped": True, "batched": True}
+            elif os.path.exists(best_ckpt) and not sweep.overwrite:
                 logger.info("%s exists; skipping training", best_ckpt)
                 train_result = {"model_path": model_dir_for(opt), "skipped": True}
             else:

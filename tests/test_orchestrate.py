@@ -304,3 +304,25 @@ def test_all_run_multi_dataset(tmp_path):
     t2v_log = os.path.join(root, "result_log", "TextToVideo", "allrun.txt")
     rows = open(t2v_log).read().strip().split("\n")
     assert len(rows) >= 2  # one appended metric row per dataset
+
+
+def test_retrieval_task_batch_seeds(sweep_world):
+    """--batch_seeds pre-trains all seeds of a parm config in one fused
+    program; the per-seed loop then predicts from the sweep-written
+    checkpoints (training skipped)."""
+    sweep = SweepOptions(
+        trainCollection="toytrain", valCollection="toyval",
+        testCollection="toytest", rootpath=sweep_world, config_name="tiny",
+        parm_adjust_configs=["None"], random_seeds=[2, 7], val_set="no",
+        batch_size=12, num_epochs=2, overwrite=1,
+        result_file=os.path.join(sweep_world, "result_log", "bs.txt"),
+        batch_seeds=True,
+    )
+    results = retrieval_task(sweep)
+    for seed in (2, 7):
+        key = f"runs_None_seed_{seed}"
+        assert key in results
+        # training happened in the fused sweep; the loop found the
+        # checkpoint and skipped to prediction
+        assert results[key]["train"].get("skipped") is True
+        assert "t2v" in results[key]["predict"]["toytest.caption.txt"]
