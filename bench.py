@@ -178,6 +178,9 @@ def wait_for_backend(max_wait_s: int = 900, probe_timeout_s: int = 120):
 
 
 def main():
+    from laff_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     wait_for_backend()
     name, qps_wall, wall = bench_ours()
     rtt = null_rtt()

@@ -448,6 +448,9 @@ def rebuild_featurizers(ckpt: Dict, rootpath: str):
 
 
 def main(opt: PredictOptions) -> Dict:
+    from ..utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     ckpt = load_checkpoint(opt.model_path)
     config = ckpt["config"]
     model, variables, spec = rebuild_model(ckpt)

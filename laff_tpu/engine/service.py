@@ -255,6 +255,9 @@ class RetrievalService:
     ) -> None:
         from ..data import TextBatcher
         from .predictor import build_vis_feed
+        from ..utils.misc import enable_compile_cache
+
+        enable_compile_cache()
 
         ckpt = load_checkpoint(model_path)
         self.config = ckpt["config"]

@@ -758,6 +758,9 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
 def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     """Full training run (reference ``trainer.main``, ``trainer.py:315-443``)."""
     from .prepare import prepare
+    from ..utils.misc import enable_compile_cache
+
+    enable_compile_cache()
 
     if prepared is None:
         prepared = prepare(opt)

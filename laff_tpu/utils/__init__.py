@@ -1,5 +1,6 @@
 from .misc import (
     ROOT_PATH,
+    enable_compile_cache,
     AverageMeter,
     Progress,
     check_to_skip,
@@ -11,6 +12,7 @@ from .misc import (
 
 __all__ = [
     "ROOT_PATH",
+    "enable_compile_cache",
     "AverageMeter",
     "Progress",
     "check_to_skip",

@@ -113,3 +113,51 @@ class Progress:
             "%s %d/%d (%.1f%%) %.1f/s eta %.0fs",
             self.label, self.seen, self.total, 100.0 * self.seen / self.total, rate, eta,
         )
+
+
+_COMPILE_CACHE_ENABLED = False
+
+
+def enable_compile_cache(path: str | None = None) -> str | None:
+    """Point JAX at a persistent on-disk XLA compilation cache.
+
+    The reference workflow (``shell/retrieval_task.sh:118-155``) is a sweep of
+    many short single-purpose processes — train, predict, score — each of which
+    would otherwise re-pay the full XLA compile (~20-40 s on TPU) for programs
+    that are byte-identical across seeds.  A shared on-disk cache makes every
+    process after the first start at device speed.
+
+    Controlled by ``LAFF_TPU_COMPILE_CACHE``: unset → ``~/.cache/laff_tpu/xla``;
+    ``0``/``off`` → disabled; anything else → used as the cache directory.
+    Returns the directory in use, or None when disabled.  Idempotent.
+    """
+    global _COMPILE_CACHE_ENABLED
+    env = os.environ.get("LAFF_TPU_COMPILE_CACHE", "")
+    if env.lower() in ("0", "off", "none", "disable", "disabled"):
+        return None
+    if path is None and not env and "axon" in os.environ.get("JAX_PLATFORMS", ""):
+        # Development-tunnel backends with remote compilation deserialize
+        # persisted executables through the tunnel; a large persisted
+        # executable was measured loading in 290 s where its cold compile
+        # took 5.7 s (small programs do win: 1.26 s -> 0.04 s). Default off
+        # there; opt in explicitly via LAFF_TPU_COMPILE_CACHE=<dir>.
+        return None
+    if _COMPILE_CACHE_ENABLED:
+        return env or None
+    cache_dir = path or env or os.path.join(
+        os.environ.get("HOME", os.path.expanduser("~")), ".cache", "laff_tpu", "xla")
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache even fast-compiling programs: sweep processes are short-lived,
+        # so amortization starts from the second process, not the second call.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as exc:  # pragma: no cover - cache is best-effort
+        logger.warning("compile cache unavailable (%s); continuing without", exc)
+        return None
+    _COMPILE_CACHE_ENABLED = True
+    logger.info("persistent XLA compile cache at %s", cache_dir)
+    return cache_dir
