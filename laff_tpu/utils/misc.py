@@ -115,7 +115,7 @@ class Progress:
         )
 
 
-_COMPILE_CACHE_ENABLED = False
+_COMPILE_CACHE_DIR: str | None = None
 
 
 def enable_compile_cache(path: str | None = None) -> str | None:
@@ -131,7 +131,7 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     ``0``/``off`` → disabled; anything else → used as the cache directory.
     Returns the directory in use, or None when disabled.  Idempotent.
     """
-    global _COMPILE_CACHE_ENABLED
+    global _COMPILE_CACHE_DIR
     env = os.environ.get("LAFF_TPU_COMPILE_CACHE", "")
     if env.lower() in ("0", "off", "none", "disable", "disabled"):
         return None
@@ -142,8 +142,8 @@ def enable_compile_cache(path: str | None = None) -> str | None:
         # took 5.7 s (small programs do win: 1.26 s -> 0.04 s). Default off
         # there; opt in explicitly via LAFF_TPU_COMPILE_CACHE=<dir>.
         return None
-    if _COMPILE_CACHE_ENABLED:
-        return env or None
+    if _COMPILE_CACHE_DIR is not None:
+        return _COMPILE_CACHE_DIR
     cache_dir = path or env or os.path.join(
         os.environ.get("HOME", os.path.expanduser("~")), ".cache", "laff_tpu", "xla")
     try:
@@ -158,6 +158,6 @@ def enable_compile_cache(path: str | None = None) -> str | None:
     except Exception as exc:  # pragma: no cover - cache is best-effort
         logger.warning("compile cache unavailable (%s); continuing without", exc)
         return None
-    _COMPILE_CACHE_ENABLED = True
+    _COMPILE_CACHE_DIR = cache_dir
     logger.info("persistent XLA compile cache at %s", cache_dir)
     return cache_dir

@@ -49,13 +49,14 @@ def test_cache_disable_flag(tmp_path):
 def test_idempotent_in_process(tmp_path, monkeypatch):
     from laff_tpu.utils import misc
 
-    monkeypatch.setattr(misc, "_COMPILE_CACHE_ENABLED", False)
+    monkeypatch.setattr(misc, "_COMPILE_CACHE_DIR", None)
     monkeypatch.setenv("LAFF_TPU_COMPILE_CACHE", str(tmp_path))
     assert misc.enable_compile_cache() == str(tmp_path)
-    # second call is a no-op that must not raise or re-configure
-    misc.enable_compile_cache()
+    # second call is a no-op that must not re-configure — and must still
+    # report the directory actually in use (ADVICE r3)
+    assert misc.enable_compile_cache() == str(tmp_path)
     monkeypatch.setenv("LAFF_TPU_COMPILE_CACHE", "0")
-    monkeypatch.setattr(misc, "_COMPILE_CACHE_ENABLED", False)
+    monkeypatch.setattr(misc, "_COMPILE_CACHE_DIR", None)
     assert misc.enable_compile_cache() is None
 
 
@@ -65,7 +66,7 @@ def test_axon_tunnel_default_off(tmp_path, monkeypatch):
     compile); an explicit env opt-in overrides the gate."""
     from laff_tpu.utils import misc
 
-    monkeypatch.setattr(misc, "_COMPILE_CACHE_ENABLED", False)
+    monkeypatch.setattr(misc, "_COMPILE_CACHE_DIR", None)
     monkeypatch.delenv("LAFF_TPU_COMPILE_CACHE", raising=False)
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
     assert misc.enable_compile_cache() is None
