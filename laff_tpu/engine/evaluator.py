@@ -160,6 +160,27 @@ def score_matrix(
     return out
 
 
+# HBM budget for one materialized f32 score block (text block x full
+# gallery) on the flat XLA rank path. Above it, ranks dispatch to the
+# tiled Pallas fused_sim_rank on TPU (the (T, V) scores then live only in
+# VMEM tiles — the measured winner at the 1M-gallery design point, 0.935
+# MFU vs 0.69-0.76 blockwise XLA, BENCH_LARGE_r03.json); off-TPU (where
+# Pallas runs in interpret mode) the text block shrinks instead.
+# Override the policy with LAFF_TPU_RANK_PATH=flat|pallas|blockwise.
+_FLAT_SCORE_BUDGET = 2 * 1024**3
+
+
+def _rank_path(t_block: int, v: int) -> str:
+    """Pick the device rank path for a (t_block x v) score regime."""
+    mode = os.environ.get("LAFF_TPU_RANK_PATH", "auto")
+    if mode != "auto":
+        return mode
+    budget = int(os.environ.get("LAFF_TPU_FLAT_SCORE_BUDGET", _FLAT_SCORE_BUDGET))
+    if t_block * v * 4 <= budget:
+        return "flat"
+    return "pallas" if jax.default_backend() == "tpu" else "blockwise"
+
+
 def t2v_ranks(
     txt_embs: jnp.ndarray,
     vis_embs: jnp.ndarray,
@@ -173,8 +194,17 @@ def t2v_ranks(
 
     Embeddings are per-head normalized + flattened ONCE (the H-head mean of
     cosines equals a single flat dot / H), so the gallery is never
-    renormalized per text block."""
-    from ..ops.pallas_kernels import flatten_heads
+    renormalized per text block.
+
+    Size-based path selection (see :func:`_rank_path`): galleries whose
+    f32 score block fits the HBM budget take the flat XLA matmul+counting
+    fusion (fastest at MV-test3k scale); beyond it, the tiled Pallas
+    ``fused_sim_rank`` keeps score tiles in VMEM (the reference's
+    ``predict_batch`` regime, model/model.py:1081-1128, falls back to
+    host-side row batches there). The Pallas path computes bf16 x bf16 ->
+    f32 scores like the production flat path; exact-duplicate ties keep
+    the identical larger-index-first semantics on every path."""
+    from ..ops.pallas_kernels import flatten_heads, fused_sim_rank
 
     vid_index = {v: i for i, v in enumerate(vis_ids)}
     gt = np.asarray([vid_index[t.split("#")[0]] for t in txt_ids], dtype=np.int32)
@@ -193,6 +223,16 @@ def t2v_ranks(
     tn = flatten_heads(txt_embs)
     vn = flatten_heads(vis_embs)
     n = tn.shape[0]
+    v = vn.shape[0]
+    path = _rank_path(min(block, n), v)
+    if path == "pallas":
+        return np.asarray(
+            fused_sim_rank(tn, vn, jnp.asarray(gt), prenormalized=True)
+        )
+    if path == "blockwise":
+        budget = int(os.environ.get("LAFF_TPU_FLAT_SCORE_BUDGET",
+                                    _FLAT_SCORE_BUDGET))
+        block = min(block, max(256, (budget // (v * 4)) // 256 * 256))
     ranks = np.empty((n,), dtype=np.int32)
     for start in range(0, n, block):
         stop = min(start + block, n)
@@ -349,10 +389,21 @@ def streaming_benchmark_eval(
     * pass 2 recomputes each block and accumulates greater/tie-after
       counts vs the now-complete gt-score vector on device.
 
+    When the flattened gallery embeddings fit an HBM budget
+    (``LAFF_TPU_STREAM_GALLERY_BUDGET`` bytes, default 9 GiB — the
+    1M x 4096 bf16 design point is 8 GiB), pass 1 additionally writes
+    them into a preallocated device buffer (donated in-place updates, no
+    2x transient) and pass 2 skips the entire re-embed — it either
+    rescores cache slices with the SAME block shapes/program as pass 1
+    (bit-identical counting) or, when :func:`_rank_path` selects it,
+    hands the whole problem to the tiled Pallas ``fused_sim_rank``
+    (bf16-native caches only, so no extra rounding is introduced; the
+    kernel's gt handling is self-consistent by construction).
+
     Returns dict with t2v/v2t metric tuples, t2v ranks, top-k
     (indices, values) and the streamed gallery ids.
     """
-    from ..ops.pallas_kernels import flatten_heads
+    from ..ops.pallas_kernels import flatten_heads, fused_sim_rank
 
     heads = txt_embs.shape[1] if txt_embs.ndim == 3 else 1
     tn = flatten_heads(txt_embs)
@@ -371,12 +422,30 @@ def streaming_benchmark_eval(
         root_to_caps.setdefault(tid.split("#")[0], []).append(i)
     p_max = max(len(v) for v in root_to_caps.values())
 
+    V = len(vis_ids)
+    hd = tn.shape[1]
+    cache_budget = int(os.environ.get(
+        "LAFF_TPU_STREAM_GALLERY_BUDGET", 9 * 1024**3))
+    cache = None  # lazily allocated at the first block (dtype then known)
+    cache_append = jax.jit(
+        lambda buf, vb, start: jax.lax.dynamic_update_slice_in_dim(
+            buf, vb, start, 0),
+        donate_argnums=(0,),
+    )
+    block_layout: List[Tuple[int, int]] = []
+
     def blocks():
+        nonlocal cache
         col = 0
         for item in Prefetcher(iter(vis_feed), depth=2):
             emb = _embed_block(embedder, item["data"])
             emb = emb[: item["valid"]]
             vn = flatten_heads(emb)
+            if col == 0 and V * hd * vn.dtype.itemsize <= cache_budget:
+                cache = jnp.zeros((V, hd), vn.dtype)
+            if cache is not None:
+                cache = cache_append(cache, vn, col)
+                block_layout.append((col, vn.shape[0]))
             S = _flat_scores_block(tn, vn, heads)
             yield col, item, S
             col += item["valid"]
@@ -404,13 +473,32 @@ def streaming_benchmark_eval(
                 v2t_counts.append(n_pos)
 
     # ---- pass 2: exact t2v counting vs the complete gt vector -----------
-    greater = jnp.zeros((T,), dtype=jnp.int32)
-    tie = jnp.zeros((T,), dtype=jnp.int32)
-    for col, item, S in blocks():
-        g, t = _count_inc(S, gt_scores, gt_cols, col)
-        greater = greater + g
-        tie = tie + t
-    t2v_rank_arr = np.asarray(greater + tie + 1)
+    if cache is not None and cache.dtype == jnp.bfloat16 \
+            and _rank_path(T, V) == "pallas":
+        # 1M design point: cached bf16 gallery, score tiles stay in VMEM
+        # (the kernel sees the very same bf16 rows pass 1 scored, so no
+        # rounding beyond the production bf16 path is introduced)
+        t2v_rank_arr = np.asarray(
+            fused_sim_rank(tn, cache, gt_cols, prenormalized=True))
+    elif cache is not None:
+        # no re-embed: rescore cache slices with the SAME program and
+        # block shapes as pass 1 -> bit-identical scores and counting
+        greater = jnp.zeros((T,), dtype=jnp.int32)
+        tie = jnp.zeros((T,), dtype=jnp.int32)
+        for col, width in block_layout:
+            S = _flat_scores_block(tn, cache[col:col + width], heads)
+            g, t = _count_inc(S, gt_scores, gt_cols, col)
+            greater = greater + g
+            tie = tie + t
+        t2v_rank_arr = np.asarray(greater + tie + 1)
+    else:
+        greater = jnp.zeros((T,), dtype=jnp.int32)
+        tie = jnp.zeros((T,), dtype=jnp.int32)
+        for col, item, S in blocks():
+            g, t = _count_inc(S, gt_scores, gt_cols, col)
+            greater = greater + g
+            tie = tie + t
+        t2v_rank_arr = np.asarray(greater + tie + 1)
 
     t2v = metrics_from_ranks(t2v_rank_arr)
     v2t = metrics_from_positive_ranks(v2t_rank_lists)

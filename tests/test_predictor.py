@@ -472,3 +472,149 @@ def test_predict_concept_rerank(trained_world):
     blended = run("cr_on", "concept")
     assert len(blended) == 7 and np.isfinite(blended).all()
     assert tuple(blended) != tuple(plain)  # concept signal moved the metrics
+
+
+# ---------------------------------------------------------------------------
+# rank-path auto-selection (VERDICT r3 item 3)
+# ---------------------------------------------------------------------------
+
+def test_rank_path_policy(monkeypatch):
+    """_rank_path: flat while the f32 score block fits the budget, Pallas
+    beyond it on TPU, blockwise off-TPU; env override wins."""
+    import jax
+
+    from laff_tpu.engine import evaluator as EV
+
+    monkeypatch.delenv("LAFF_TPU_RANK_PATH", raising=False)
+    monkeypatch.setenv("LAFF_TPU_FLAT_SCORE_BUDGET", str(1000 * 1000 * 4))
+    assert EV._rank_path(1000, 1000) == "flat"
+    big = EV._rank_path(1001, 1000)
+    if jax.default_backend() == "tpu":
+        assert big == "pallas"
+    else:
+        assert big == "blockwise"
+    for forced in ("flat", "pallas", "blockwise"):
+        monkeypatch.setenv("LAFF_TPU_RANK_PATH", forced)
+        assert EV._rank_path(10**9, 10**9) == forced
+
+
+def test_t2v_ranks_dispatch_boundary(monkeypatch):
+    """t2v_ranks over the selection boundary: every path (flat XLA /
+    tiled Pallas / shrunken blockwise) preserves the exact tie semantics
+    on duplicated gallery rows (larger index wins) and near-exact rank
+    agreement elsewhere (bf16 tiling may move near-ties by an ulp)."""
+    import jax.numpy as jnp
+
+    from laff_tpu.engine import evaluator as EV
+
+    rng = np.random.default_rng(17)
+    h, d = 2, 16
+    base = rng.standard_normal((40, h, d)).astype(np.float32)
+    vis = np.concatenate([base, base[:3]], axis=0)  # dups 0,1,2 at 40,41,42
+    vis_ids = [f"v{i}" for i in range(len(vis))]
+    txt = np.concatenate([base[:3], rng.standard_normal((20, h, d)).astype(np.float32)])
+    txt_ids = [f"v{i}#0" for i in (40, 41, 42)] + [f"v{i}#0" for i in range(3, 23)]
+
+    def run(path, budget=None):
+        monkeypatch.setenv("LAFF_TPU_RANK_PATH", path)
+        if budget is not None:
+            monkeypatch.setenv("LAFF_TPU_FLAT_SCORE_BUDGET", str(budget))
+        return EV.t2v_ranks(jnp.asarray(txt), jnp.asarray(vis),
+                            txt_ids, vis_ids, block=8)
+
+    flat = run("flat")
+    pallas = run("pallas")
+    blockwise = run("blockwise", budget=43 * 4 * 8)
+    # ties: queries 0-2 target the LATER duplicate -> exact rank 1 on
+    # every path (duplicated rows survive any rounding identically)
+    for ranks in (flat, pallas, blockwise):
+        np.testing.assert_array_equal(ranks[:3], [1, 1, 1])
+    np.testing.assert_array_equal(flat, blockwise)  # same program family
+    assert (pallas == flat).mean() > 0.9
+    np.testing.assert_allclose(pallas, flat, atol=2)
+
+
+def test_streaming_gallery_cache_skips_pass2(monkeypatch):
+    """With the HBM gallery cache active (default), pass 2 rescoring from
+    cache slices is bit-identical to the uncached two-pass streaming."""
+    import jax.numpy as jnp
+
+    from laff_tpu.data.feed import EvalFeed
+    from laff_tpu.engine import evaluator as EV
+
+    rng = np.random.default_rng(23)
+    n_vis, heads, dim = 37, 2, 8
+    vis = rng.normal(size=(n_vis, heads, dim)).astype(np.float32)
+    vis[5] = vis[9]
+    vis_ids = [f"v{i}" for i in range(n_vis)]
+    txt_ids = [f"v{i}#0" for i in range(n_vis)]
+    txt = rng.normal(size=(n_vis, heads, dim)).astype(np.float32)
+
+    class FakeEmbedder:
+        variables = None
+
+        def _vis(self, variables, batch):
+            return jnp.asarray(batch["feat"])
+
+    def make_feed():
+        return EvalFeed(
+            vis_ids,
+            lambda ids: {"feat": np.stack([vis[int(i[1:])] for i in ids])},
+            batch_size=8,
+        )
+
+    monkeypatch.delenv("LAFF_TPU_RANK_PATH", raising=False)
+    cached = EV.streaming_benchmark_eval(
+        FakeEmbedder(), jnp.asarray(txt), txt_ids, make_feed(), topk=5)
+    monkeypatch.setenv("LAFF_TPU_STREAM_GALLERY_BUDGET", "0")
+    uncached = EV.streaming_benchmark_eval(
+        FakeEmbedder(), jnp.asarray(txt), txt_ids, make_feed(), topk=5)
+    np.testing.assert_array_equal(cached["t2v_ranks"], uncached["t2v_ranks"])
+    np.testing.assert_array_equal(cached["topk_vals"], uncached["topk_vals"])
+    np.testing.assert_allclose(cached["t2v"], uncached["t2v"], rtol=0, atol=0)
+    np.testing.assert_allclose(cached["v2t"], uncached["v2t"], rtol=0, atol=0)
+
+
+def test_streaming_pallas_dispatch(monkeypatch):
+    """bf16 embeddings + forced pallas: streaming t2v ranks come from
+    fused_sim_rank over the cached gallery (equal to calling the kernel
+    directly on the same rows) and tie semantics hold."""
+    import jax.numpy as jnp
+
+    from laff_tpu.data.feed import EvalFeed
+    from laff_tpu.engine import evaluator as EV
+    from laff_tpu.ops.pallas_kernels import flatten_heads, fused_sim_rank
+
+    rng = np.random.default_rng(29)
+    n_vis, heads, dim = 21, 2, 8
+    vis = rng.normal(size=(n_vis, heads, dim)).astype(np.float32)
+    vis[4] = vis[12]
+    vis_ids = [f"v{i}" for i in range(n_vis)]
+    txt_ids = [f"v{i}#0" for i in range(n_vis)]
+    txt = rng.normal(size=(n_vis, heads, dim)).astype(np.float32)
+    txt[3] = vis[4]  # query 3 targets v4 whose duplicate v12 outranks it
+    txt_ids[3] = "v4#0"
+
+    class Bf16Embedder:
+        variables = None
+
+        def _vis(self, variables, batch):
+            return jnp.asarray(batch["feat"]).astype(jnp.bfloat16)
+
+    feed = EvalFeed(
+        vis_ids,
+        lambda ids: {"feat": np.stack([vis[int(i[1:])] for i in ids])},
+        batch_size=8,
+    )
+    monkeypatch.setenv("LAFF_TPU_RANK_PATH", "pallas")
+    out = EV.streaming_benchmark_eval(
+        Bf16Embedder(), jnp.asarray(txt).astype(jnp.bfloat16),
+        txt_ids, txt_ids and feed, topk=0)
+
+    tn = flatten_heads(jnp.asarray(txt).astype(jnp.bfloat16))
+    vn = flatten_heads(jnp.asarray(vis).astype(jnp.bfloat16))
+    gt = jnp.asarray(np.asarray(
+        [int(t.split("#")[0][1:]) for t in txt_ids], dtype=np.int32))
+    direct = np.asarray(fused_sim_rank(tn, vn, gt, prenormalized=True))
+    np.testing.assert_array_equal(out["t2v_ranks"], direct)
+    assert out["t2v_ranks"][3] == 2  # later duplicate (v12) wins the tie
