@@ -321,8 +321,20 @@ def strongclip_text_featurizer(rootpath: str, test_collection: str,
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = {k[11:]: v for k, v in ckpt["model"].items()}  # strip 'clip_model.'
     prefix = "ClipModel." if any(k.startswith("ClipModel.") for k in sd) else ""
-    params = import_text_tower(sd, prefix=prefix)
-    tower = ClipTextTower()
+    try:
+        # build_model-style shape sniffing so RN50-family / ViT-L text
+        # widths load without a hand config (model/clip/model.py:401-438)
+        from ..models.clip import infer_clip_config
+
+        cfg = infer_clip_config(sd, prefix=prefix).text
+    except KeyError:
+        cfg = None  # partial dump: fall back to the ViT-B default
+    params = import_text_tower(
+        sd, layers=cfg.layers if cfg else 12, prefix=prefix)
+    # device arrays, not numpy: the token-embedding lookup indexes by a
+    # tracer under jit, which a host ndarray cannot serve
+    params = jax.tree.map(jnp.asarray, params)
+    tower = ClipTextTower(cfg) if cfg else ClipTextTower()
 
     _fn = jax.jit(lambda ids: tower.apply({"params": params}, ids))
 

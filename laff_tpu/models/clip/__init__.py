@@ -1,11 +1,15 @@
 from .tokenizer import CONTEXT_LENGTH, ClipTokenizer, get_tokenizer, tokenize
+from .resnet import ClipResNetConfig, ModifiedResNetTower, import_resnet_tower
 from .towers import (
+    ClipArch,
     ClipTextConfig,
     ClipTextTower,
     ClipVisionConfig,
     ClipVisionTower,
+    build_towers,
     import_text_tower,
     import_vision_tower,
+    infer_clip_config,
 )
 
 __all__ = [
@@ -19,4 +23,10 @@ __all__ = [
     "ClipVisionTower",
     "import_text_tower",
     "import_vision_tower",
+    "ClipArch",
+    "ClipResNetConfig",
+    "ModifiedResNetTower",
+    "import_resnet_tower",
+    "build_towers",
+    "infer_clip_config",
 ]

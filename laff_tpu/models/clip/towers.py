@@ -201,3 +201,102 @@ def import_vision_tower(sd: Dict, layers: int = 12, prefix: str = "visual.") -> 
     for i in range(layers):
         params[f"block_{i}"] = _import_block(sd, f"{p}transformer.resblocks.{i}.")
     return params
+
+
+# ---------------------------------------------------------------------------
+# architecture inference from state-dict shapes (reference build_model,
+# model/clip/model.py:401-438)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ClipArch:
+    """What a CLIP checkpoint's weight shapes say it is. ``vision`` is
+    None for text-only dumps (e.g. StrongCLIP text-tower fine-tunes)."""
+    text: ClipTextConfig
+    vision: object  # ClipVisionConfig (ViT), ClipResNetConfig, or None
+    vit: bool
+
+
+def infer_clip_config(sd: Dict, prefix: str = "") -> ClipArch:
+    """Infer the full CLIP architecture from weight shapes alone, exactly
+    as the reference ``build_model`` does (model/clip/model.py:401-438) —
+    so any released checkpoint (ViT-B/32, ViT-B/16, ViT-L/14, RN50,
+    RN50x4, RN101, ...) loads without a hand-written config. ``prefix``
+    handles wrapped checkpoints (e.g. 'ClipModel.')."""
+    from .resnet import ClipResNetConfig
+
+    p = prefix
+    keys = [k[len(p):] for k in sd if k.startswith(p)]
+
+    def shape(k):
+        return tuple(sd[p + k].shape)
+
+    embed_dim = shape("text_projection")[1]
+    width = shape("ln_final.weight")[0]
+    text = ClipTextConfig(
+        vocab_size=shape("token_embedding.weight")[0],
+        context_length=shape("positional_embedding")[0],
+        width=width,
+        heads=width // 64,
+        layers=len({k.split(".")[2] for k in keys
+                    if k.startswith("transformer.resblocks")}),
+        embed_dim=embed_dim,
+    )
+
+    vit = "visual.proj" in keys
+    if not any(k.startswith("visual.") for k in keys):
+        return ClipArch(text=text, vision=None, vit=False)
+    if vit:
+        vision_width = shape("visual.conv1.weight")[0]
+        vision_layers = len([k for k in keys if k.startswith("visual.")
+                             and k.endswith(".attn.in_proj_weight")])
+        patch = shape("visual.conv1.weight")[-1]
+        grid = round((shape("visual.positional_embedding")[0] - 1) ** 0.5)
+        vision = ClipVisionConfig(
+            image_size=patch * grid, patch_size=patch, width=vision_width,
+            heads=vision_width // 64, layers=vision_layers,
+            embed_dim=embed_dim,
+        )
+    else:
+        counts = tuple(
+            len({k.split(".")[2] for k in keys
+                 if k.startswith(f"visual.layer{b}")})
+            for b in (1, 2, 3, 4)
+        )
+        vision_width = shape("visual.layer1.0.conv1.weight")[0]
+        out_width = round(
+            (shape("visual.attnpool.positional_embedding")[0] - 1) ** 0.5)
+        assert out_width ** 2 + 1 == \
+            shape("visual.attnpool.positional_embedding")[0]
+        vision = ClipResNetConfig(
+            layers=counts, width=vision_width,
+            heads=vision_width * 32 // 64,
+            image_size=out_width * 32, embed_dim=embed_dim,
+        )
+    return ClipArch(text=text, vision=vision, vit=vit)
+
+
+def build_towers(sd: Dict, prefix: str = ""):
+    """Reference ``build_model`` analog: infer the architecture from the
+    state dict, instantiate both flax towers, import the weights.
+
+    Returns ``(text_tower, text_vars, vision_tower, vision_vars)`` where
+    each vars dict is ready for ``tower.apply(vars, batch)`` (ResNet
+    towers carry a 'batch_stats' collection for the frozen BN)."""
+    from .resnet import ModifiedResNetTower, import_resnet_tower
+
+    arch = infer_clip_config(sd, prefix=prefix)
+    text_tower = ClipTextTower(arch.text)
+    text_vars = {"params": import_text_tower(sd, layers=arch.text.layers,
+                                             prefix=prefix)}
+    if arch.vision is None:
+        return text_tower, text_vars, None, None
+    if arch.vit:
+        vision_tower = ClipVisionTower(arch.vision)
+        vision_vars = {"params": import_vision_tower(
+            sd, layers=arch.vision.layers, prefix=prefix + "visual.")}
+    else:
+        vision_tower = ModifiedResNetTower(arch.vision)
+        vision_vars = import_resnet_tower(sd, arch.vision,
+                                          prefix=prefix + "visual.")
+    return text_tower, text_vars, vision_tower, vision_vars

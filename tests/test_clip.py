@@ -143,3 +143,207 @@ def test_text_tower_matches_torch(rng):
     tower = ClipTextTower(cfg)
     ours = np.asarray(tower.apply({"params": params}, jnp.asarray(ids)))
     np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# ModifiedResNet visual tower + build_model-style architecture inference
+# (VERDICT r3 item 5; reference model/clip/model.py:10-150, 401-438)
+# ---------------------------------------------------------------------------
+
+def _load_reference_clip_model():
+    """Import the REAL reference torch CLIP module from the read-only tree."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_clip_model", "/root/reference/model/clip/model.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_resnet():
+    torch.manual_seed(7)
+    ref = _load_reference_clip_model()
+    m = ref.ModifiedResNet(layers=(1, 1, 1, 1), output_dim=24, heads=2,
+                           input_resolution=32, width=16)
+    m.eval()
+    return m
+
+
+def test_resnet_tower_matches_reference_torch(ref_resnet, rng):
+    """Flax ModifiedResNetTower == the actual reference torch module on
+    random weights (frozen BN, attention pool included)."""
+    from laff_tpu.models.clip import (ClipResNetConfig, ModifiedResNetTower,
+                                      import_resnet_tower)
+
+    sd = {"visual." + k: v for k, v in ref_resnet.state_dict().items()}
+    cfg = ClipResNetConfig(layers=(1, 1, 1, 1), width=16, heads=2,
+                           image_size=32, embed_dim=24)
+    variables = import_resnet_tower(sd, cfg)
+    tower = ModifiedResNetTower(cfg)
+
+    imgs = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = ref_resnet(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(tower.apply(variables, jnp.asarray(imgs)))
+    np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_resnet_tower_deeper_stage_counts(rng):
+    """Uneven per-stage block counts (RN50x-style) round-trip through the
+    importer and forward cleanly."""
+    from laff_tpu.models.clip import (ClipResNetConfig, ModifiedResNetTower,
+                                      import_resnet_tower)
+
+    torch.manual_seed(9)
+    ref = _load_reference_clip_model()
+    m = ref.ModifiedResNet(layers=(2, 1, 1, 2), output_dim=16, heads=4,
+                           input_resolution=32, width=16)
+    m.eval()
+    sd = {"visual." + k: v for k, v in m.state_dict().items()}
+    cfg = ClipResNetConfig(layers=(2, 1, 1, 2), width=16, heads=4,
+                           image_size=32, embed_dim=16)
+    tower = ModifiedResNetTower(cfg)
+    variables = import_resnet_tower(sd, cfg)
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        expected = m(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(tower.apply(variables, jnp.asarray(imgs)))
+    np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-4)
+
+
+def _tiny_full_clip_sd(vit: bool):
+    """A complete (tiny) CLIP state dict: text stack + visual tower."""
+    torch.manual_seed(11)
+    sd = {
+        "token_embedding.weight": torch.randn(100, 64) * 0.02,
+        "positional_embedding": torch.randn(16, 64) * 0.01,
+        "ln_final.weight": torch.rand(64) + 0.5,
+        "ln_final.bias": torch.randn(64) * 0.1,
+        "text_projection": torch.randn(64, 24) * 0.02,
+        "logit_scale": torch.tensor(4.6),
+    }
+    for i in range(2):
+        p = f"transformer.resblocks.{i}."
+        sd[p + "ln_1.weight"] = torch.rand(64) + 0.5
+        sd[p + "ln_1.bias"] = torch.randn(64) * 0.1
+        sd[p + "ln_2.weight"] = torch.rand(64) + 0.5
+        sd[p + "ln_2.bias"] = torch.randn(64) * 0.1
+        sd[p + "attn.in_proj_weight"] = torch.randn(192, 64) * 0.05
+        sd[p + "attn.in_proj_bias"] = torch.randn(192) * 0.01
+        sd[p + "attn.out_proj.weight"] = torch.randn(64, 64) * 0.05
+        sd[p + "attn.out_proj.bias"] = torch.randn(64) * 0.01
+        sd[p + "mlp.c_fc.weight"] = torch.randn(256, 64) * 0.05
+        sd[p + "mlp.c_fc.bias"] = torch.randn(256) * 0.01
+        sd[p + "mlp.c_proj.weight"] = torch.randn(64, 256) * 0.05
+        sd[p + "mlp.c_proj.bias"] = torch.randn(64) * 0.01
+    ref = _load_reference_clip_model()
+    if vit:
+        vt = ref.VisualTransformer(input_resolution=16, patch_size=8,
+                                   width=64, layers=2, heads=4, output_dim=24)
+        vt.eval()
+        sd.update({"visual." + k: v for k, v in vt.state_dict().items()})
+    else:
+        rn = ref.ModifiedResNet(layers=(1, 1, 1, 1), output_dim=24, heads=2,
+                                input_resolution=32, width=16)
+        rn.eval()
+        sd.update({"visual." + k: v for k, v in rn.state_dict().items()})
+    return sd
+
+
+@pytest.mark.parametrize("vit", [True, False])
+def test_infer_clip_config_from_shapes(vit):
+    """build_model-style shape sniffing recovers the architecture for both
+    tower families (reference model/clip/model.py:401-438)."""
+    from laff_tpu.models.clip import infer_clip_config
+
+    arch = infer_clip_config(_tiny_full_clip_sd(vit))
+    assert arch.vit == vit
+    assert arch.text.vocab_size == 100
+    assert arch.text.context_length == 16
+    assert arch.text.width == 64
+    assert arch.text.layers == 2
+    assert arch.text.embed_dim == 24
+    if vit:
+        assert arch.vision.patch_size == 8
+        assert arch.vision.image_size == 16
+        assert arch.vision.width == 64
+        assert arch.vision.layers == 2
+    else:
+        assert arch.vision.layers == (1, 1, 1, 1)
+        assert arch.vision.width == 16
+        assert arch.vision.image_size == 32
+        assert arch.vision.heads == 8  # width * 32 // 64
+    assert arch.vision.embed_dim == 24
+
+
+@pytest.mark.parametrize("vit", [True, False])
+def test_build_towers_end_to_end(vit, rng):
+    """build_towers: any checkpoint -> working flax towers, no hand config."""
+    from laff_tpu.models.clip import build_towers
+
+    sd = _tiny_full_clip_sd(vit)
+    text_tower, text_vars, vision_tower, vision_vars = build_towers(sd)
+
+    ids = np.zeros((2, 16), dtype=np.int32)
+    ids[:, 0] = 97
+    ids[0, 1], ids[0, 2] = 5, 99
+    ids[1, 1], ids[1, 2] = 7, 99
+    txt_out = np.asarray(text_tower.apply(text_vars, jnp.asarray(ids)))
+    assert txt_out.shape == (2, 24)
+
+    size = 16 if vit else 32
+    imgs = rng.standard_normal((2, size, size, 3)).astype(np.float32)
+    vis_out = np.asarray(vision_tower.apply(vision_vars, jnp.asarray(imgs)))
+    assert vis_out.shape == (2, 24)
+    assert np.isfinite(vis_out).all() and np.isfinite(txt_out).all()
+
+
+def test_strongclip_swap_infers_architecture(tmp_path, rng):
+    """strongclip_text_featurizer sniffs the text architecture from the
+    checkpoint's weight shapes (non-default width/layers load without a
+    hand config) and encodes captions to the torch oracle's values."""
+    from laff_tpu.engine.predictor import strongclip_text_featurizer
+    from laff_tpu.models.clip import tokenize
+
+    torch.manual_seed(13)
+    # width 256 -> inferred heads = 256 // 64 = 4, matching the oracle
+    width, layers, embed = 256, 2, 24
+    sd = {
+        "token_embedding.weight": torch.randn(49408, width) * 0.02,
+        "positional_embedding": torch.randn(77, width) * 0.01,
+        "ln_final.weight": torch.rand(width) + 0.5,
+        "ln_final.bias": torch.randn(width) * 0.1,
+        "text_projection": torch.randn(width, embed) * 0.02,
+    }
+    for i in range(layers):
+        p = f"transformer.resblocks.{i}."
+        sd[p + "ln_1.weight"] = torch.rand(width) + 0.5
+        sd[p + "ln_1.bias"] = torch.randn(width) * 0.1
+        sd[p + "ln_2.weight"] = torch.rand(width) + 0.5
+        sd[p + "ln_2.bias"] = torch.randn(width) * 0.1
+        sd[p + "attn.in_proj_weight"] = torch.randn(3 * width, width) * 0.05
+        sd[p + "attn.in_proj_bias"] = torch.randn(3 * width) * 0.01
+        sd[p + "attn.out_proj.weight"] = torch.randn(width, width) * 0.05
+        sd[p + "attn.out_proj.bias"] = torch.randn(width) * 0.01
+        sd[p + "mlp.c_fc.weight"] = torch.randn(4 * width, width) * 0.05
+        sd[p + "mlp.c_fc.bias"] = torch.randn(4 * width) * 0.01
+        sd[p + "mlp.c_proj.weight"] = torch.randn(width, 4 * width) * 0.05
+        sd[p + "mlp.c_proj.bias"] = torch.randn(width) * 0.01
+
+    d = tmp_path / "coll" / "TextData" / "clip_ft"
+    d.mkdir(parents=True)
+    torch.save({"model": {"clip_model." + k: v for k, v in sd.items()}},
+               d / "model_best.pth.tar")
+
+    feat = strongclip_text_featurizer(str(tmp_path), "coll", dir_name="clip_ft")
+    caps = ["a dog runs", "two people talking"]
+    out = feat.encode_batch(caps)
+    assert out.shape == (2, embed)
+
+    ids = np.asarray(tokenize(caps))
+    expected = _torch_text_tower(sd, ids.astype(np.int64))
+    np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
