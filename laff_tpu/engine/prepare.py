@@ -370,6 +370,10 @@ class Prepared:
     # device w2v mean-pool table (K+1, D) when device_text_featurize covers
     # the w2v encoder; the train step closes over it in HBM
     w2v_table: Optional[np.ndarray] = None
+    # task3: <val TextData>/<val_set>/<val>.caption.negationset.txt — the
+    # validation-caption subset re-evaluated per epoch as 'task3' metrics
+    # (reference trainer.py:120-122, 596-607)
+    negationset_path: Optional[str] = None
 
 
 def _collection_paths(rootpath, collection, val_set=""):
@@ -779,4 +783,9 @@ def prepare(opt: Options) -> Prepared:
         we=we,
         train2_feed=train2_feed,
         w2v_table=w2v_table,
+        negationset_path=(
+            os.path.join(rootpath, opt.valCollection, "TextData", val_set,
+                         f"{opt.valCollection}.caption.negationset.txt")
+            if task3_enabled else None
+        ),
     )

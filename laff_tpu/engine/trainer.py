@@ -904,6 +904,21 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     mean_last: list = []
     hist_path = os.path.join(model_path, "val_perf_hist.txt")
 
+    # task3: per-epoch re-evaluation on the negation caption subset,
+    # logged as 'task3'-prefixed metrics (reference trainer.py:596-607;
+    # diagnostic only — never feeds LR plateau / early stopping)
+    negationset: Optional[set] = None
+    neg_path = getattr(prepared, "negationset_path", None)
+    if neg_path and os.path.exists(neg_path):
+        with open(neg_path) as fh:
+            negationset = {line.strip().split(" ", 1)[0]
+                           for line in fh if line.strip()}
+        logger.info("task3 negation validation subset: %d caption ids (%s)",
+                    len(negationset), neg_path)
+    elif neg_path:
+        logger.warning("task3 negationset file missing, skipping the "
+                       "in-training negation metrics: %s", neg_path)
+
     # full resume (params + optimizer + LR controller + counters) — the
     # reference can only warm-start weights (load_pretrained_model,
     # strict=False; no optimizer-state resume). Per-epoch determinism
@@ -1007,11 +1022,26 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         )
         hist.write("epoch_%d:\nText2Video(%s): %f\n" % (epoch, opt.metric, cur_perf))
         hist.flush()
-        result.setdefault("history", []).append(
-            {"epoch": epoch, "loss": float(train_loss), "lr": float(lr),
-             **{k: float(metrics[k]) for k in
-                ("r1", "r5", "r10", "medr", "meanr", "mir", "mAP")}}
-        )
+        entry = {"epoch": epoch, "loss": float(train_loss), "lr": float(lr),
+                 **{k: float(metrics[k]) for k in
+                    ("r1", "r5", "r10", "medr", "meanr", "mir", "mAP")}}
+        if negationset is not None:
+            sel = np.asarray([t in negationset for t in metrics["txt_ids"]])
+            if sel.any():
+                from ..eval.metrics import metrics_from_ranks
+
+                t3 = dict(zip(
+                    ("r1", "r5", "r10", "medr", "meanr", "mir", "mAP"),
+                    metrics_from_ranks(np.asarray(metrics["ranks"])[sel]),
+                ))
+                for tag, v in t3.items():
+                    scalar_log.add_scalar(f"task3val/{tag}", v, epoch)
+                entry.update({f"task3_{k}": float(v) for k, v in t3.items()})
+                logger.info(
+                    "epoch %d negation subset (%d caps): r1=%.2f mir=%.4f",
+                    epoch, int(sel.sum()), t3["r1"], t3["mir"],
+                )
+        result.setdefault("history", []).append(entry)
 
         lr_ctl.step(cur_perf)
         is_best = cur_perf > best_perf

@@ -221,3 +221,51 @@ def test_negation_not_inert_with_live_text(tmp_path, caplog):
     assert not any("INERT" in r.message for r in caplog.records)
     # live bow encodes the clauses distinctly
     assert not np.array_equal(np.asarray(pos), np.asarray(neg))
+
+
+def test_task3_negation_subset_validation(task3_world):
+    """Per-epoch re-evaluation on the negation caption subset (reference
+    trainer.py:596-607): 'task3'-prefixed metrics exist in the scalar log
+    and the run history, and the stream moves across epochs."""
+    root = task3_world
+    # negation validation subset: every third val caption id
+    val_cap = os.path.join(root, "toyval", "TextData", "toyval.caption.txt")
+    with open(val_cap) as fh:
+        cap_ids = [line.split(" ", 1)[0] for line in fh if line.strip()]
+    subset = cap_ids[::3]
+    with open(os.path.join(root, "toyval", "TextData",
+                           "toyval.caption.negationset.txt"), "w") as fh:
+        fh.write("\n".join(f"{c} some negated caption" for c in subset))
+
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval", rootpath=root,
+        val_set="no", config_name="tiny", num_epochs=6, batch_size=12,
+        model_prefix="run_t3_negval", metric="mir", task3_caption="false",
+    )
+    result = train_main(opt)
+
+    hist = result["history"]
+    assert all("task3_mir" in e for e in hist), hist[0].keys()
+    t3_mirs = [e["task3_mir"] for e in hist]
+    assert all(np.isfinite(v) for v in t3_mirs)
+    assert len(set(round(v, 6) for v in t3_mirs)) > 1, "task3 stream frozen"
+    # the subset stream is its own signal, not a copy of the full metric
+    assert any(abs(e["task3_mir"] - e["mir"]) > 1e-9 for e in hist)
+
+    scalars = os.path.join(result["model_path"], "scalars.tsv")
+    with open(scalars) as fh:
+        tags = {line.split("\t")[1] for line in fh if "\t" in line}
+    assert "task3val/mir" in tags and "task3val/r1" in tags, tags
+
+
+def test_task3_negationset_missing_is_skipped(task3_world, caplog):
+    """task3 without the negationset file trains normally and logs a
+    warning instead of crashing (the file is an optional TRECVid asset)."""
+    opt = Options(
+        trainCollection="toytrain", valCollection="toyval",
+        rootpath=task3_world, val_set="no", config_name="tiny",
+        num_epochs=2, batch_size=12, model_prefix="run_t3_nofile",
+        metric="mir", task3_caption="false",
+    )
+    result = train_main(opt)
+    assert "task3_mir" not in result["history"][0]
