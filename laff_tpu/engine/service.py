@@ -231,7 +231,12 @@ class RetrievalService:
       'int8'  — half the HBM (symmetric per-row int8 + f32 scales); scores
                 carry the quantization error (measured top-1000 overlap
                 with exact at the 1M x 4096 design point: 1.0000 —
-                shell/bench_int8_topk.py), ~1.6x the MXU rate.
+                shell/bench_int8_topk.py), ~1.6x the MXU rate. RANKINGS
+                are reliable; score VALUES are not cosine-scale (up to
+                2.55 absolute error, BENCH_INT8_r03.json) — a warning is
+                logged at construction. For exact score values use the
+                predictor's rescored path (--int8_gallery 1), which
+                re-embeds nominated candidates in full precision.
 
     Requires every active text modality to be live-encodable (bow / w2v /
     gru / netvlad / in-graph bert / live clip tower). Precomputed-only
@@ -300,6 +305,18 @@ class RetrievalService:
             from ..ops.quantized import quantize_rows
 
             self._quantize = jax.jit(quantize_rows)
+            # raw int8 scores are rank-faithful but NOT cosine-scale
+            # (measured up to 2.55 absolute error at the 1M design point,
+            # BENCH_INT8_r03.json); consumers needing exact score values
+            # must use the rescored path (do_predictor --int8_gallery 1
+            # re-embeds nominated candidates and dumps exact scores)
+            logger.warning(
+                "gallery_dtype='int8': search() scores are quantized "
+                "approximations on the int8 scale — rankings are reliable "
+                "(top-1000 overlap 1.0000 at the 1M design point) but "
+                "score VALUES are not cosine-exact; use the predictor's "
+                "--int8_gallery rescored path when exact scores matter"
+            )
         # gallery_cache: embedding a large gallery costs one full vis-tower
         # pass (minutes at v3c1 scale); a snapshot of the SERVING-form
         # arrays (bf16 rows, or int8 rows + scales) keyed on the checkpoint

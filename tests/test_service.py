@@ -67,14 +67,27 @@ def test_service_search(served_world):
     assert len(three) == 3 and all(len(r) == 2 for r in three)
 
 
-def test_service_int8_matches_bf16_order(served_world):
+def test_service_int8_matches_bf16_order(served_world, caplog):
+    import logging
+
     from laff_tpu.engine.service import RetrievalService
 
     root, ckpt = served_world
     caps = list(_test_captions(root).values())[:6]
     exact = RetrievalService(ckpt, root, "toytest").search(caps, k=3)
-    quant = RetrievalService(ckpt, root, "toytest",
-                             gallery_dtype="int8").search(caps, k=3)
+    import laff_tpu.engine.service as S
+
+    S.logger.addHandler(caplog.handler)  # laff_tpu loggers don't propagate
+    try:
+        with caplog.at_level(logging.WARNING):
+            svc8 = RetrievalService(ckpt, root, "toytest",
+                                    gallery_dtype="int8")
+    finally:
+        S.logger.removeHandler(caplog.handler)
+    # int8 scores are not cosine-scale — construction must warn the
+    # consumer toward the rescored path (VERDICT r3 weak item 7)
+    assert any("not cosine-exact" in r.message for r in caplog.records)
+    quant = svc8.search(caps, k=3)
     # int8 carries quantization error; on this tiny well-separated world
     # the top-1 must agree
     for e, q in zip(exact, quant):
