@@ -574,6 +574,20 @@ def init_state(model, spec, prepared: Prepared, tx, seed: int = 2) -> TrainState
     )
 
 
+class _NullScalarLogger:
+    """Non-main processes of a multi-process run log nothing (all
+    processes compute identical values; process 0 owns the files)."""
+
+    def add_scalar(self, tag, value, step):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
 class ScalarLogger:
     """TSV scalar log (always) + TensorBoard when opted in.
 
@@ -582,7 +596,7 @@ class ScalarLogger:
     JAX for the TPU and deadlocks the first compile.
     """
 
-    def __init__(self, logdir: str):
+    def __init__(self, logdir: str):  # noqa: D107 — see class docstring
         self.path = os.path.join(logdir, "scalars.tsv")
         self._fh = open(self.path, "a")
         self._tb = None
@@ -658,12 +672,12 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
         txt = txt_arg(batch)
         vis = vis_arg(batch)
         if mesh is not None:
-            txt = shard_batch(txt, mesh)
-            vis = shard_batch(vis, mesh)
+            txt = shard_batch(txt, mesh, from_global=True)
+            vis = shard_batch(vis, mesh, from_global=True)
         if "false_txt" in batch:
             false_txt = to_dev(batch["false_txt"], cast_txt_bf16)
             if mesh is not None:
-                false_txt = shard_batch(false_txt, mesh)
+                false_txt = shard_batch(false_txt, mesh, from_global=True)
             return train_step(
                 state, txt, vis, batch["_rng"],
                 false_txt_batch=false_txt,
@@ -699,12 +713,15 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
                 txt_s = _stack_batches(buf, "txt", cast_txt_bf16)
             if mesh is not None:
                 # (K, B, ...) stacks: dp shards the per-step batch axis
-                txt_s = shard_batch(txt_s, mesh, axis_index=1)
-                vis_s = shard_batch(vis_s, mesh, axis_index=1)
+                txt_s = shard_batch(txt_s, mesh, axis_index=1,
+                                    from_global=True)
+                vis_s = shard_batch(vis_s, mesh, axis_index=1,
+                                    from_global=True)
             if "false_txt" in buf[0]:
                 false_s = _stack_batches(buf, "false_txt", cast_txt_bf16)
                 if mesh is not None:
-                    false_s = shard_batch(false_s, mesh, axis_index=1)
+                    false_s = shard_batch(false_s, mesh, axis_index=1,
+                                          from_global=True)
                 state, losses = multi_step(
                     state, txt_s, vis_s,
                     rngs, false_s,
@@ -885,8 +902,20 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             f"batch_size {opt.batch_size} must be a multiple of {multiple} "
             f"(config.device_batch_multiple / mesh 'dp' axis size)"
         )
+    # multi-process (pod / DCN) runs: every process executes the same
+    # epoch loop on identically-seeded feeds; device state is replicated
+    # over the global mesh and only process 0 touches the filesystem
+    multiproc = mesh is not None and jax.process_count() > 1
+    is_main = jax.process_index() == 0
+    if multiproc:
+        from ..parallel import replicate
+
+        state = replicate(state, mesh)
+        logger.info("multi-process run: %d processes, %d global devices",
+                    jax.process_count(), mesh.devices.size)
+
     lr_ctl = LRController(config.lr, config.lr_decay_rate)
-    scalar_log = ScalarLogger(model_path)
+    scalar_log = ScalarLogger(model_path) if is_main else _NullScalarLogger()
 
     val_txt_feed = EvalFeed(
         prepared.val_txt_source.cap_ids,
@@ -937,6 +966,10 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             opt_state=rk["opt_state"],
             step=jnp.asarray(rk["step"], jnp.int32),
         )
+        if multiproc:
+            from ..parallel import replicate
+
+            state = replicate(state, mesh)
         lr_ctl.__dict__.update(rk["lr_ctl"])
         best_perf = rk["best_perf"]
         no_impr = rk["no_impr"]
@@ -944,7 +977,8 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         start_epoch = rk["epoch"]
         logger.info("resumed from %s at epoch %d (best %.4f)",
                     resume_path, start_epoch, best_perf)
-    hist = open(hist_path, "a" if start_epoch else "w")
+    hist = open(hist_path if is_main else os.devnull,
+                "a" if start_epoch else "w")
 
     def ckpt_payload(epoch):
         # fetch to host HERE (main thread): device->host reads contend
@@ -1009,6 +1043,11 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             eval_vars["batch_stats"] = state.batch_stats
         if state.schedule:
             eval_vars["schedule"] = state.schedule
+        if multiproc:
+            # replicated device arrays -> host; each process then runs the
+            # identical validation on its local devices (deterministic, no
+            # collectives, and np.asarray on sharded outputs stays legal)
+            eval_vars = jax.tree_util.tree_map(np.asarray, eval_vars)
         metrics = validate(Embedder(model, eval_vars), val_txt_feed, val_vis_feed,
                            measure=spec.measure)
         cur_perf = metrics[opt.metric]
@@ -1046,33 +1085,35 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         lr_ctl.step(cur_perf)
         is_best = cur_perf > best_perf
         best_perf = max(cur_perf, best_perf)
-        saver.submit(
-            save_checkpoint_dance,
-            ckpt_payload(epoch), is_best, logdir=model_path,
-            filename=f"checkpoint_epoch_{epoch}.pth.tar",
-        )
+        if is_main:
+            saver.submit(
+                save_checkpoint_dance,
+                ckpt_payload(epoch), is_best, logdir=model_path,
+                filename=f"checkpoint_epoch_{epoch}.pth.tar",
+            )
 
         if is_best:
             no_impr = 0
             mean_last = []
         elif opt.save_mean_last == 1:
             mean_last.append(jax.tree_util.tree_map(np.asarray, state.params))
-            if len(mean_last) > 1:
+            if len(mean_last) > 1 and is_main:
                 payload = ckpt_payload(epoch)
                 payload["params"] = average_states(mean_last)
                 save_checkpoint(payload, os.path.join(model_path, "mean_last10.pth.tar"))
 
         no_impr += 1
-        if getattr(opt, "resume", 0):
+        if getattr(opt, "resume", 0) and is_main:
             # a resumable run pays one full-state pickle (params + adam
             # moments) per epoch; plain runs skip it
             saver.submit(save_checkpoint, resume_payload(epoch), resume_path)
         if no_impr > 10 or epoch == opt.num_epochs - 1:
             saver.join()
-            save_checkpoint_dance(
-                ckpt_payload(epoch), is_best=False, logdir=model_path,
-                filename=f"checkpoint_epoch_{epoch}.pth.tar", only_best=True,
-            )
+            if is_main:
+                save_checkpoint_dance(
+                    ckpt_payload(epoch), is_best=False, logdir=model_path,
+                    filename=f"checkpoint_epoch_{epoch}.pth.tar", only_best=True,
+                )
             logger.info("Early stopping or finished at epoch %d.", epoch)
             result["epochs"] = epoch + 1
             break
@@ -1084,8 +1125,9 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         opt.metric, best_perf,
     )
     logger.info(message)
-    with open(os.path.join(model_path, "val_perf.txt"), "w") as fh:
-        fh.write(message)
+    if is_main:
+        with open(os.path.join(model_path, "val_perf.txt"), "w") as fh:
+            fh.write(message)
     result["best_perf"] = best_perf
     result["model_path"] = model_path
     return result

@@ -71,18 +71,36 @@ def seed_data_mesh(n_seed: int, n_dp: int) -> Mesh:
 
 
 def shard_batch(batch: Dict, mesh: Mesh, axis: str = "dp",
-                axis_index: int = 0) -> Dict:
+                axis_index: int = 0, from_global: bool = False) -> Dict:
     """Shard every array along its batch axis (``axis_index``; default the
     leading axis — multi-step scan stacks shard axis 1, the per-step batch).
 
     Single-host: a plain device_put. Multi-host: each process feeds its
     LOCAL slice of the global batch (the feed is per-process) and
     ``jax.make_array_from_process_local_data`` assembles the global
-    array — no cross-host data movement."""
+    array — no cross-host data movement. ``from_global=True`` instead
+    declares the arrays as identical GLOBAL batches on every process
+    (the trainer's feeds are seeded identically per process) and slices
+    out this process's rows first; mesh device order is process-major
+    (``jax.devices()``), so the slice is contiguous."""
     sharding = NamedSharding(mesh, P(*([None] * axis_index), axis))
-    if jax.process_count() > 1:
+    nproc = jax.process_count()
+    if nproc > 1:
+        pid = jax.process_index()
+
         def put(x):
-            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+            x = np.asarray(x)
+            if from_global:
+                b = x.shape[axis_index]
+                if b % nproc:
+                    raise ValueError(
+                        f"global batch axis {b} must divide by "
+                        f"{nproc} processes")
+                per = b // nproc
+                idx = [slice(None)] * x.ndim
+                idx[axis_index] = slice(pid * per, (pid + 1) * per)
+                x = x[tuple(idx)]
+            return jax.make_array_from_process_local_data(sharding, x)
     else:
         def put(x):
             return jax.device_put(x, sharding)
@@ -91,5 +109,15 @@ def shard_batch(batch: Dict, mesh: Mesh, axis: str = "dp",
 
 
 def replicate(tree, mesh: Mesh):
+    """Place every leaf fully replicated over the mesh. Works in
+    multi-process runs too (each process must hold the identical full
+    array — true for seeded-identical caches and host-built states)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() > 1:
+        def put(x):
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+    else:
+        def put(x):
+            return jax.device_put(x, sharding)
+    return jax.tree_util.tree_map(put, tree)
