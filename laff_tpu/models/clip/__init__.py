@@ -1,4 +1,5 @@
 from .tokenizer import CONTEXT_LENGTH, ClipTokenizer, get_tokenizer, tokenize
+from .load import LoadedClip, available_models, load, load_state_dict
 from .resnet import ClipResNetConfig, ModifiedResNetTower, import_resnet_tower
 from .towers import (
     ClipArch,
@@ -29,4 +30,8 @@ __all__ = [
     "import_resnet_tower",
     "build_towers",
     "infer_clip_config",
+    "LoadedClip",
+    "available_models",
+    "load",
+    "load_state_dict",
 ]

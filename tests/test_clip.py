@@ -347,3 +347,92 @@ def test_strongclip_swap_infers_architecture(tmp_path, rng):
     ids = np.asarray(tokenize(caps))
     expected = _torch_text_tower(sd, ids.astype(np.int64))
     np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
+
+
+def _jit_archive_from_sd(sd, path):
+    """Pack a flat state dict into a TorchScript archive with the same
+    nested-module layout the released CLIP .pt files use."""
+    root = torch.nn.Module()
+    for k, v in sd.items():
+        parts = k.split(".")
+        m = root
+        for p in parts[:-1]:
+            if not hasattr(m, p):
+                m.add_module(p, torch.nn.Module())
+            m = getattr(m, p)
+        m.register_parameter(parts[-1], torch.nn.Parameter(v.clone()))
+    # the released archives also carry non-weight buffers that the
+    # reference strips before build_model (model/clip/model.py:430-432)
+    root.register_buffer("input_resolution", torch.tensor(16))
+    root.register_buffer("context_length", torch.tensor(16))
+    root.register_buffer("vocab_size", torch.tensor(100))
+    torch.jit.save(torch.jit.script(root), str(path))
+
+
+@pytest.mark.parametrize("container", ["jit", "state_dict", "checkpoint"])
+def test_clip_load_containers(tmp_path, container):
+    """clip.load-style acquisition (ref model/clip/clip.py:102-121): a
+    TorchScript JIT archive, a plain state dict, and a checkpoint wrapper
+    all yield the same towers as build_towers on the raw dict."""
+    from laff_tpu.models.clip import build_towers, load, load_state_dict
+
+    sd = _tiny_full_clip_sd(vit=True)
+    path = tmp_path / "tiny.pt"
+    if container == "jit":
+        _jit_archive_from_sd(sd, path)
+    elif container == "state_dict":
+        torch.save(sd, path)
+    else:
+        torch.save({"state_dict": sd}, path)
+
+    got = load_state_dict(str(path))
+    assert set(got) == set(sd), (
+        set(sd) ^ set(got))  # JIT buffer keys stripped, weights intact
+    for k in sd:
+        np.testing.assert_array_equal(got[k].numpy(), sd[k].numpy())
+
+    loaded = load(str(path))
+    assert loaded.input_resolution == 16
+    _, ref_text_vars, _, ref_vis_vars = build_towers(sd)
+    ids = np.zeros((1, 16), dtype=np.int32)
+    ids[:, 0] = 97
+    ids[0, 1] = 99
+    a = np.asarray(loaded.text_tower.apply(loaded.text_vars,
+                                           jnp.asarray(ids)))
+    b = np.asarray(loaded.text_tower.apply(ref_text_vars, jnp.asarray(ids)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_clip_load_name_resolution(tmp_path, monkeypatch):
+    """Name resolution via the _MODELS table: a pre-placed file with a
+    matching sha256 loads without network; a bad name lists the table;
+    a missing file in an offline env raises with placement instructions."""
+    import hashlib
+    import importlib
+
+    from laff_tpu.models.clip import available_models, load
+
+    load_mod = importlib.import_module("laff_tpu.models.clip.load")
+
+    assert set(available_models()) == {"RN50", "RN101", "RN50x4", "ViT-B/32"}
+
+    sd = _tiny_full_clip_sd(vit=True)
+    path = tmp_path / "Tiny.pt"
+    torch.save(sd, path)
+    sha = hashlib.sha256(path.read_bytes()).hexdigest()
+    monkeypatch.setitem(load_mod.load.__globals__["_MODELS"], "Tiny",
+                        f"https://127.0.0.1:1/clip/{sha}/Tiny.pt")
+
+    loaded = load("Tiny", download_root=str(tmp_path))
+    assert loaded.arch.vit and loaded.input_resolution == 16
+
+    with pytest.raises(RuntimeError, match="available models"):
+        load("NoSuchModel", download_root=str(tmp_path))
+
+    # wrong digest on disk -> re-download attempt -> offline placement hint
+    monkeypatch.setitem(load_mod.load.__globals__["_MODELS"], "Tiny2",
+                        f"https://127.0.0.1:1/clip/{'0' * 64}/Tiny2.pt")
+    (tmp_path / "Tiny2.pt").write_bytes(b"garbage")
+    with pytest.raises(RuntimeError, match="place the released checkpoint"):
+        with pytest.warns(UserWarning, match="SHA256"):
+            load("Tiny2", download_root=str(tmp_path))
