@@ -193,7 +193,17 @@ SWEEP = [
 
 def run_sweep(args):
     results = []
+    timed_out = False
     for mode, bt, bv, vmem, tmo in SWEEP:
+        if timed_out:
+            # A timeout kill mid-compile wedges the remote-compile helper
+            # and every further kill deepens the outage (round-3 lesson:
+            # two kills took the backend down for >1 h). Record the rest
+            # as skipped rather than probing a wounded backend.
+            results.append({"mode": mode, "block_t": bt, "block_v": bv,
+                            "skipped": "earlier config timed out; sweep "
+                                       "aborted to protect the backend"})
+            continue
         cmd = [sys.executable, os.path.abspath(__file__), "--mode", mode,
                "--t", str(args.t if mode.startswith("rank") else args.topk_t),
                "--v", str(args.v), "--hd", str(args.hd),
@@ -217,6 +227,7 @@ def run_sweep(args):
         except subprocess.TimeoutExpired:
             results.append({"mode": mode, "block_t": bt, "block_v": bv,
                             "error": f"timeout {tmo}s (compile hang?)"})
+            timed_out = True
         print(f"# -> {json.dumps(results[-1])}", file=sys.stderr)
 
     ranked = [r for r in results if "error" not in r
@@ -248,7 +259,7 @@ def main():
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_LARGE_r02.json"))
+        f"BENCH_LARGE_{os.environ.get('LAFF_TPU_BENCH_ROUND', 'r04')}.json"))
     args = p.parse_args()
     if args.mode == "sweep":
         run_sweep(args)
