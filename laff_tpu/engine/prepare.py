@@ -433,9 +433,19 @@ def build_featurizers(config, rootpath, vocab_collection, train_capfile):
         featurizers["rnn"] = IndexVec(gru_vocab)
         rnn_out = config.rnn_size * (2 if rnn_encoding == "bigru" else 1)
         txt_dims["rnn"] = rnn_out
-        # w2v-initialize the embedding table when dims line up (the
-        # reference gates this on we_dim==500, the w2v dump's width)
-        if os.path.exists(w2v_dir) and BigFile(w2v_dir).ndims == config.we_dim:
+        # w2v-initialize the embedding table ONLY when we_dim == 500, the
+        # released w2v dump's width — the reference's exact gate
+        # (model/model.py:334-336); any other width keeps the N(0,1)
+        # nn.Embedding default. Generalizing the gate to "dims line up"
+        # measurably HURT from-scratch training on the 8-dim rehearsal
+        # world (~-0.05 mean best mir over 20+ seeds vs the reference,
+        # round-4 equivalence sweep), so parity wins; opt back in on
+        # non-500 widths with config.w2v_init_rnn = True.
+        w2v_init = getattr(config, "w2v_init_rnn", None)
+        if w2v_init is None:
+            w2v_init = config.we_dim == 500
+        if (w2v_init and os.path.exists(w2v_dir)
+                and BigFile(w2v_dir).ndims == config.we_dim):
             we = get_we(gru_vocab, w2v_dir)
             we_dim = we.shape[1]
         else:

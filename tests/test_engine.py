@@ -48,7 +48,19 @@ def test_prepare_builds_spec_and_feeds(tiny_world):
     assert set(txt_feats) == {"rnn", "bow", "w2v"}
     assert txt_feats["w2v"] == 8
     assert spec.txt.gru is not None and spec.txt.gru.pooling == "mean"
-    assert prepared.we is not None  # w2v-initialized embedding matrix
+    # reference gate (model/model.py:334-336): w2v-init ONLY at we_dim==500,
+    # so the 8-dim toy world keeps the N(0,1) embedding default...
+    assert prepared.we is None
+    # ...unless explicitly opted in (config.w2v_init_rnn = True)
+    from laff_tpu.engine.prepare import build_featurizers
+
+    cfg = load_config("tiny")
+    cfg.w2v_init_rnn = True
+    capfile = os.path.join(
+        tiny_world, "toytrain", "TextData", "toytrain.caption.txt"
+    )
+    *_, we = build_featurizers(cfg, tiny_world, "toytrain", capfile)
+    assert we is not None and we.shape[1] == 8
     # vocab auto-built and persisted
     assert os.path.exists(
         os.path.join(tiny_world, "toytrain", "TextData", "vocab", "bow_nsw_1.pkl")
