@@ -51,6 +51,10 @@ class config(object):
     threshold = 5
     bow_norm = 0
     we_dim = 500
+    # GRU embedding w2v init is gated on we_dim == 500 like the reference
+    # (model/model.py:334-336); set True/False to force it on other widths
+    # (None = reference behavior)
+    w2v_init_rnn = None
     rnn_size = 1024
     rnn_layer = 1
     txt_fc_layers = '0-2048'
