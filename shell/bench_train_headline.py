@@ -69,34 +69,47 @@ def measure_val_pass():
     txt_fn = jax.jit(lambda v, b: model.apply(v, b, method=model.encode_txt))
     vis_fn = jax.jit(lambda v, b: model.apply(v, b, method=model.encode_vis))
 
-    def txt_batch(b):
-        t, _ = ge._example_batch(np.random.default_rng(1), b=b, spec=spec)
+    def txt_batch(b, seed):
+        t, _ = ge._example_batch(np.random.default_rng(seed), b=b, spec=spec)
         return {k: np.asarray(v) for k, v in t.items()}
 
     def vis_batch(b):
         _, v = ge._example_batch(np.random.default_rng(2), b=b, spec=spec)
         return {k: np.asarray(vv) for k, vv in v.items()}
 
-    # compile
-    te = txt_fn(eval_vars, txt_batch(1024))
-    ve = vis_fn(eval_vars, vis_batch(512))
-    te.block_until_ready(), ve.block_until_ready()
-
+    # Stage all val batches host-side BEFORE timing: production val
+    # features stream from memmapped BigFiles (microseconds per batch);
+    # synthesizing ~100 MB of random features per chunk on the host is a
+    # bench-harness artifact that once inflated this number 10x. Two
+    # distinct sets (warmup + timed) so the dispatch stack cannot elide
+    # repeats.
     import jax.numpy as jnp
 
-    t0 = time.perf_counter()
-    txt_chunks = []
-    done = 0
-    while done < MSRVTT_VAL_CAPS:
-        txt_chunks.append(txt_fn(eval_vars, txt_batch(1024)))
-        done += 1024
-    vis_embs = vis_fn(eval_vars, vis_batch(512))[:MSRVTT_VAL_VIDEOS]
-    txt_embs = jnp.concatenate(txt_chunks, axis=0)[:MSRVTT_VAL_CAPS]
+    n_chunks = -(-MSRVTT_VAL_CAPS // 1024)
     txt_ids = [f"v{i % MSRVTT_VAL_VIDEOS}#0" for i in range(MSRVTT_VAL_CAPS)]
     vis_ids = [f"v{i}" for i in range(MSRVTT_VAL_VIDEOS)]
-    ranks = EV.t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids)
-    assert ranks.shape == (MSRVTT_VAL_CAPS,)
-    return time.perf_counter() - t0
+
+    def one_pass(batches, vis_b):
+        txt_chunks = [txt_fn(eval_vars, b) for b in batches]
+        vis_embs = vis_fn(eval_vars, vis_b)[:MSRVTT_VAL_VIDEOS]
+        txt_embs = jnp.concatenate(txt_chunks, axis=0)[:MSRVTT_VAL_CAPS]
+        ranks = np.asarray(EV.t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids))
+        assert ranks.shape == (MSRVTT_VAL_CAPS,)
+
+    warm = [txt_batch(1024, seed=100 + i) for i in range(n_chunks)]
+    timed = [txt_batch(1024, seed=200 + i) for i in range(n_chunks)]
+    vis_b = vis_batch(512)
+
+    # warm up the WHOLE pipeline (tower jits + concat + counting-rank
+    # program): the per-epoch val cost is the steady-state cost — epoch 1
+    # additionally pays these compiles once per run, reported separately
+    t0 = time.perf_counter()
+    one_pass(warm, vis_b)
+    compile_wall = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    one_pass(timed, vis_b)
+    return time.perf_counter() - t0, compile_wall
 
 
 def main():
@@ -119,14 +132,17 @@ def main():
         }
     out["step_by_batch"] = rows
 
-    val_wall = measure_val_pass()
+    val_wall, val_compile = measure_val_pass()
     out["val_pass_seconds"] = round(val_wall, 2)
+    out["val_first_epoch_extra_seconds"] = round(val_compile - val_wall, 2)
 
     ref_row = rows.get(REF_BATCH, {})
     if "ms_per_step" in ref_row:
         steps_per_epoch = -(-MSRVTT_TRAIN_CAPS // REF_BATCH)
         epoch_s = steps_per_epoch * ref_row["ms_per_step"] / 1e3 + val_wall
-        full80_h = MAX_EPOCHS * epoch_s / 3600.0
+        # one-time first-epoch compile overhead counted once per run
+        full80_h = (MAX_EPOCHS * epoch_s
+                    + max(val_compile - val_wall, 0.0)) / 3600.0
         out.update({
             "steps_per_epoch": steps_per_epoch,
             "epoch_wall_seconds": round(epoch_s, 2),
