@@ -39,31 +39,39 @@ PEAK_BF16 = 197e12  # TPU v5e bf16 peak FLOP/s
 
 
 def null_rtt(n=6):
-    """Fixed dispatch+readback cost of the device tunnel (subtracting it
-    isolates device time; a host-attached chip would not pay it)."""
+    """Fixed dispatch+readback cost of the device tunnel for the SAME
+    output payload as the benchmarked kernel — a trivial jit returning a
+    (T,) int32 vector, so wall minus this isolates device compute. On a
+    congested tunnel day the readback of even 239 KB costs several ms
+    (measured ~35 MB/s vs the usual ~90), which an 8-float null probe
+    does not see; a host-attached chip in production pays neither."""
     import time as _t
 
     import jax
     import jax.numpy as jnp
 
-    fn = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros((8,), jnp.float32)
-    np.asarray(fn(x))
+    fn = jax.jit(lambda x, s: x + s)
+    x = jnp.zeros((T,), jnp.int32)
+    np.asarray(fn(x, jnp.int32(0)))
     times = []
-    for _ in range(n):
+    for i in range(n):
         t0 = _t.perf_counter()
-        np.asarray(fn(x))
+        np.asarray(fn(x, jnp.int32(i)))  # perturb: no memoized repeats
         times.append(_t.perf_counter() - t0)
     return min(times)
 
 
+K_MANY = 9  # iterations fused into one dispatch for the k-differencing
+
+
 def bench_ours():
+    import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from laff_tpu.eval import flat_sim_ranks
-    from laff_tpu.ops.pallas_kernels import fused_sim_rank
-
     from laff_tpu.ops.norms import l2norm
+    from laff_tpu.ops.pallas_kernels import fused_sim_rank
 
     rng = np.random.default_rng(0)
     # production state: LAFF attention outputs are unit-norm per head, so
@@ -71,47 +79,63 @@ def bench_ours():
     txt = l2norm(jnp.asarray(rng.standard_normal((T, H, D)).astype(np.float32)), axis=-1)
     vis = l2norm(jnp.asarray(rng.standard_normal((V, H, D)).astype(np.float32)), axis=-1)
     gt = jnp.asarray(rng.integers(0, V, (T,)).astype(np.int32))
-    # uniform per-iteration scaling defeats execution memoization without
-    # changing any rank (cosine ranking is scale-invariant); the scale is
-    # a jit ARGUMENT so the multiply fuses into the kernel's own bf16 cast
-    # instead of paying a separate 0.5 GB read+write pass per iteration
-    import jax
 
-    scales = [jnp.float32(1.0 + 1e-6 * i) for i in range(8)]
-    jit_flat = jax.jit(
-        lambda tx, vn, g, s: flat_sim_ranks(tx * s, vn, g, prenormalized=True)
-    )
-    jit_pallas = jax.jit(
-        lambda tx, vn, g, s: fused_sim_rank(
-            tx * s, vn, g, block_t=256, block_v=1024, prenormalized=True
-        )
-    )
+    # Device time via K-DIFFERENCING: one dispatch runs k ranking passes
+    # under lax.scan (distinct per-pass scale arguments — cosine ranking
+    # is scale-invariant, so every pass computes identical ranks without
+    # XLA being able to CSE them) and returns the summed (T,) ranks.
+    # device_per_iter = (wall[k=K_MANY] - wall[k=1]) / (K_MANY - 1):
+    # tunnel RTT + 239 KB readback appear identically in both and cancel
+    # WITHIN the same congestion regime, unlike subtracting a null-probe
+    # RTT measured at a different moment (observed drifting 25 -> 50 ms
+    # between probes on a congested day, which once produced MFU > 1).
+    def scan_ranks(kernel):
+        def f(tx, vn, g, scales):
+            def body(acc, s):
+                return acc + kernel(tx * s, vn, g), None
 
-    def run_xla_flat(i):
-        # single flat bf16 matmul + fused counting; the (T, V) score block
-        # fits in HBM at this gallery scale, and XLA's matmul pipelining
+            acc, _ = lax.scan(body, jnp.zeros((T,), jnp.int32), scales)
+            return acc
+
+        return jax.jit(f)
+
+    kernels = {
+        # single flat bf16 matmul + fused counting; the (T, V) score
+        # block fits in HBM at this scale and XLA's matmul pipelining
         # runs at the MXU roofline
-        return np.asarray(jit_flat(txt, vis, gt, scales[i % 8]))
+        "xla_flat_count": lambda tx, vn, g: flat_sim_ranks(
+            tx, vn, g, prenormalized=True
+        ),
+        "pallas_fused": lambda tx, vn, g: fused_sim_rank(
+            tx, vn, g, block_t=256, block_v=1024, prenormalized=True
+        ),
+    }
 
-    def run_pallas(i):
-        return np.asarray(jit_pallas(txt, vis, gt, scales[i % 8]))
+    def scales_for(k, i):
+        return jnp.float32(1.0) + 1e-6 * jnp.arange(k) + jnp.float32(1e-7 * i)
 
     best = None
-    for name, fn in (("xla_flat_count", run_xla_flat), ("pallas_fused", run_pallas)):
+    for name, kernel in kernels.items():
         try:
-            fn(0)  # compile
-            fn(1)  # settle the tunnel after compile traffic
-            n_iter = 5
-            times = [0.0] * n_iter
-            for i in range(n_iter):
-                t0 = time.perf_counter()
-                ranks = fn(i + 1)
-                times[i] = time.perf_counter() - t0
+            fn = scan_ranks(kernel)
+            walls = {}
+            for k in (1, K_MANY):
+                np.asarray(fn(txt, vis, gt, scales_for(k, 0)))  # compile
+                np.asarray(fn(txt, vis, gt, scales_for(k, 1)))  # settle
+            # interleave k=1 / k=K so both see the same tunnel regime
+            for rep in range(4):
+                for k in (1, K_MANY):
+                    t0 = time.perf_counter()
+                    ranks = np.asarray(fn(txt, vis, gt, scales_for(k, 2 + rep)))
+                    walls.setdefault(k, []).append(time.perf_counter() - t0)
             assert ranks.shape == (T,)
-            dt = min(times)
-            qps = T / dt
-            if best is None or qps > best[1]:
-                best = (name, qps, dt)
+            wall1 = min(walls[1])
+            device = (min(walls[K_MANY]) - wall1) / (K_MANY - 1)
+            if device <= 0:  # tunnel noise swamped the signal
+                device = float("nan")
+            qps_wall = T / wall1
+            if best is None or qps_wall > best[1]:
+                best = (name, qps_wall, wall1, device)
         except Exception as e:  # pallas unavailable on this backend etc.
             print(f"# {name} failed: {e}")
     return best
@@ -182,13 +206,18 @@ def main():
 
     enable_compile_cache()
     wait_for_backend()
-    name, qps_wall, wall = bench_ours()
+    name, qps_wall, wall, device = bench_ours()
     rtt = null_rtt()
     # headline = device-side throughput: the per-CHIP number, independent
-    # of this harness's ~32 ms development-tunnel RTT (a host-attached
-    # chip in production does not pay it). Floor at 2% of wall in case
-    # the workload ever drops below the RTT. Wall numbers stay as fields.
-    device_s = max(wall - rtt, 0.02 * wall)
+    # of this harness's development-tunnel RTT (a host-attached chip in
+    # production does not pay it). Primary estimate is the k-differenced
+    # per-iteration device time (RTT/readback cancel); if tunnel noise
+    # swamped the difference, fall back to wall minus the payload-matched
+    # null probe, floored at 2% of wall. Wall numbers stay as fields.
+    if device == device:  # not NaN
+        device_s = device
+    else:
+        device_s = max(wall - rtt, 0.02 * wall)
     qps_device = T / device_s
     flops = 2.0 * T * V * H * D  # one flat (T, HD) x (HD, V) contraction
     qps_ref = bench_reference_algorithm()
