@@ -195,6 +195,7 @@ def run_sweep(args):
     results = []
     timed_out = False
     for mode, bt, bv, vmem, tmo in SWEEP:
+        tmo = int(tmo * args.timeout_scale)
         if timed_out:
             # A timeout kill mid-compile wedges the remote-compile helper
             # and every further kill deepens the outage (round-3 lesson:
@@ -257,6 +258,10 @@ def main():
     p.add_argument("--block_v", type=int, default=1024)
     p.add_argument("--vmem_mb", type=int, default=48)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--timeout_scale", type=float, default=1.0,
+                   help="multiply per-config timeouts (slow-backend days: "
+                        "a timeout kill mid-init can wedge the backend, so "
+                        "budget >=2x the worst init+compile observed)")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"BENCH_LARGE_{os.environ.get('LAFF_TPU_BENCH_ROUND', 'r04')}.json"))
