@@ -173,6 +173,10 @@ _FLAT_SCORE_BUDGET = 2 * 1024**3
 def _rank_path(t_block: int, v: int) -> str:
     """Pick the device rank path for a (t_block x v) score regime."""
     mode = os.environ.get("LAFF_TPU_RANK_PATH", "auto")
+    if mode not in ("auto", "flat", "pallas", "blockwise"):
+        raise ValueError(
+            f"LAFF_TPU_RANK_PATH={mode!r} is not one of "
+            "auto|flat|pallas|blockwise")
     if mode != "auto":
         return mode
     budget = int(os.environ.get("LAFF_TPU_FLAT_SCORE_BUDGET", _FLAT_SCORE_BUDGET))
@@ -474,10 +478,12 @@ def streaming_benchmark_eval(
 
     # ---- pass 2: exact t2v counting vs the complete gt vector -----------
     if cache is not None and cache.dtype == jnp.bfloat16 \
-            and _rank_path(T, V) == "pallas":
+            and tn.dtype == jnp.bfloat16 and _rank_path(T, V) == "pallas":
         # 1M design point: cached bf16 gallery, score tiles stay in VMEM
-        # (the kernel sees the very same bf16 rows pass 1 scored, so no
-        # rounding beyond the production bf16 path is introduced)
+        # (the kernel sees the very same bf16 rows AND bf16 text pass 1
+        # scored — fused_sim_rank casts text to bf16 internally, so an
+        # f32 text tower must take the bit-identical rescore branch below
+        # instead of silently adding text rounding pass 1 never saw)
         t2v_rank_arr = np.asarray(
             fused_sim_rank(tn, cache, gt_cols, prenormalized=True))
     elif cache is not None:

@@ -231,7 +231,7 @@ def run_sweep(args):
             timed_out = True
         print(f"# -> {json.dumps(results[-1])}", file=sys.stderr)
 
-    ranked = [r for r in results if "error" not in r
+    ranked = [r for r in results if "qps_device" in r
               and r["mode"].startswith("rank")]
     winner = max(ranked, key=lambda r: r["qps_device"]) if ranked else None
     blob = {

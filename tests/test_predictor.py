@@ -618,3 +618,55 @@ def test_streaming_pallas_dispatch(monkeypatch):
     direct = np.asarray(fused_sim_rank(tn, vn, gt, prenormalized=True))
     np.testing.assert_array_equal(out["t2v_ranks"], direct)
     assert out["t2v_ranks"][3] == 2  # later duplicate (v12) wins the tie
+
+
+def test_streaming_pallas_guard_f32_text(monkeypatch):
+    """f32 text + bf16 gallery cache + forced pallas must take the
+    bit-exact rescore branch, NOT fused_sim_rank (which casts text to
+    bf16 internally — rounding pass 1 never saw). Engineered near-tie:
+    the query's two components differ by ~12 f32 ulps, so f32-text
+    scoring ranks the gt first while bf16-cast text collapses them to a
+    tie that a later gallery column wins."""
+    import jax.numpy as jnp
+
+    from laff_tpu.data.feed import EvalFeed
+    from laff_tpu.engine import evaluator as EV
+
+    dim = 8
+    # gallery: v0 (the gt) = e1, v1 = e0; exact in bf16 and unit-norm
+    vis = np.zeros((2, 1, dim), dtype=np.float32)
+    vis[0, 0, 1] = 1.0
+    vis[1, 0, 0] = 1.0
+    # query [1, 1+1e-6, 0...]: f32 keeps s(v0) > s(v1); bf16 text ties
+    txt = np.zeros((1, 1, dim), dtype=np.float32)
+    txt[0, 0, 0] = 1.0
+    txt[0, 0, 1] = 1.0 + 1e-6
+
+    class Bf16Embedder:
+        variables = None
+
+        def _vis(self, variables, batch):
+            return jnp.asarray(batch["feat"]).astype(jnp.bfloat16)
+
+    def make_feed():
+        return EvalFeed(
+            ["v0", "v1"],
+            lambda ids: {"feat": np.stack([vis[int(i[1:])] for i in ids])},
+            batch_size=2,
+        )
+
+    monkeypatch.setenv("LAFF_TPU_RANK_PATH", "pallas")
+    out = EV.streaming_benchmark_eval(
+        Bf16Embedder(), jnp.asarray(txt), ["v0#0"], make_feed(), topk=0)
+    assert out["t2v_ranks"][0] == 1  # f32 text precision preserved
+
+    # sanity: the bf16-cast text the kernel would have used DOES flip
+    # this rank (tie with the later column v1 counts), i.e. this test
+    # discriminates the guard
+    from laff_tpu.ops.pallas_kernels import flatten_heads, fused_sim_rank
+    tn_bf = flatten_heads(jnp.asarray(txt).astype(jnp.bfloat16))
+    vn_bf = flatten_heads(jnp.asarray(vis).astype(jnp.bfloat16))
+    kernel_rank = np.asarray(fused_sim_rank(
+        tn_bf, vn_bf, jnp.asarray([0], dtype=jnp.int32),
+        prenormalized=True))
+    assert kernel_rank[0] == 2
