@@ -6,7 +6,6 @@ import sys
 from optparse import OptionParser
 
 from laff_tpu.store import txt2bin
-from laff_tpu.utils import ROOT_PATH
 
 
 def main(argv=None):

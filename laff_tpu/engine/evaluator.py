@@ -170,8 +170,15 @@ def score_matrix(
 _FLAT_SCORE_BUDGET = 2 * 1024**3
 
 
-def _rank_path(t_block: int, v: int) -> str:
-    """Pick the device rank path for a (t_block x v) score regime."""
+def _rank_path(t_block: int, v: int, dtype=None) -> str:
+    """Pick the device rank path for a (t_block x v) score regime.
+
+    ``dtype`` is the flattened embedding dtype when known: auto mode only
+    selects ``pallas`` for bf16 embeddings — ``fused_sim_rank`` casts its
+    operands to bf16 internally, so routing an f32 tower there by size
+    alone would change reported metrics discontinuously at the budget
+    boundary. A forced ``LAFF_TPU_RANK_PATH=pallas`` is still honored
+    (explicit opt-in to the bf16 cast)."""
     mode = os.environ.get("LAFF_TPU_RANK_PATH", "auto")
     if mode not in ("auto", "flat", "pallas", "blockwise"):
         raise ValueError(
@@ -182,6 +189,8 @@ def _rank_path(t_block: int, v: int) -> str:
     budget = int(os.environ.get("LAFF_TPU_FLAT_SCORE_BUDGET", _FLAT_SCORE_BUDGET))
     if t_block * v * 4 <= budget:
         return "flat"
+    if dtype is not None and dtype != jnp.bfloat16:
+        return "blockwise"
     return "pallas" if jax.default_backend() == "tpu" else "blockwise"
 
 
@@ -205,9 +214,12 @@ def t2v_ranks(
     fusion (fastest at MV-test3k scale); beyond it, the tiled Pallas
     ``fused_sim_rank`` keeps score tiles in VMEM (the reference's
     ``predict_batch`` regime, model/model.py:1081-1128, falls back to
-    host-side row batches there). The Pallas path computes bf16 x bf16 ->
-    f32 scores like the production flat path; exact-duplicate ties keep
-    the identical larger-index-first semantics on every path."""
+    host-side row batches there). Auto mode only routes bf16 embeddings
+    to Pallas (bf16 x bf16 -> f32 scores like the production flat path);
+    f32 towers beyond the budget take blockwise XLA at full precision.
+    Forcing ``LAFF_TPU_RANK_PATH=pallas`` opts f32 inputs into the
+    kernel's internal bf16 cast. Exact-duplicate ties keep the identical
+    larger-index-first semantics on every path."""
     from ..ops.pallas_kernels import flatten_heads, fused_sim_rank
 
     vid_index = {v: i for i, v in enumerate(vis_ids)}
@@ -228,7 +240,7 @@ def t2v_ranks(
     vn = flatten_heads(vis_embs)
     n = tn.shape[0]
     v = vn.shape[0]
-    path = _rank_path(min(block, n), v)
+    path = _rank_path(min(block, n), v, dtype=tn.dtype)
     if path == "pallas":
         return np.asarray(
             fused_sim_rank(tn, vn, jnp.asarray(gt), prenormalized=True)
@@ -324,6 +336,12 @@ def _count_inc(S, gt_scores, gt_cols, col_base):
         axis=1,
     )
     return greater, tie
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _cache_append(buf, vb, start):
+    """Donated in-place append of a gallery block into the HBM cache."""
+    return jax.lax.dynamic_update_slice_in_dim(buf, vb, start, 0)
 
 
 @partial(jax.jit, static_argnums=(4,))
@@ -431,11 +449,6 @@ def streaming_benchmark_eval(
     cache_budget = int(os.environ.get(
         "LAFF_TPU_STREAM_GALLERY_BUDGET", 9 * 1024**3))
     cache = None  # lazily allocated at the first block (dtype then known)
-    cache_append = jax.jit(
-        lambda buf, vb, start: jax.lax.dynamic_update_slice_in_dim(
-            buf, vb, start, 0),
-        donate_argnums=(0,),
-    )
     block_layout: List[Tuple[int, int]] = []
 
     def blocks():
@@ -448,7 +461,7 @@ def streaming_benchmark_eval(
             if col == 0 and V * hd * vn.dtype.itemsize <= cache_budget:
                 cache = jnp.zeros((V, hd), vn.dtype)
             if cache is not None:
-                cache = cache_append(cache, vn, col)
+                cache = _cache_append(cache, vn, col)
                 block_layout.append((col, vn.shape[0]))
             S = _flat_scores_block(tn, vn, heads)
             yield col, item, S
@@ -478,29 +491,29 @@ def streaming_benchmark_eval(
 
     # ---- pass 2: exact t2v counting vs the complete gt vector -----------
     if cache is not None and cache.dtype == jnp.bfloat16 \
-            and tn.dtype == jnp.bfloat16 and _rank_path(T, V) == "pallas":
+            and tn.dtype == jnp.bfloat16 \
+            and _rank_path(T, V, dtype=tn.dtype) == "pallas":
         # 1M design point: cached bf16 gallery, score tiles stay in VMEM
         # (the kernel sees the very same bf16 rows AND bf16 text pass 1
         # scored — fused_sim_rank casts text to bf16 internally, so an
         # f32 text tower must take the bit-identical rescore branch below
-        # instead of silently adding text rounding pass 1 never saw)
+        # even under a FORCED pallas override: pass 1's v2t ranks, top-k
+        # dump, and gt scores already used f32 text, and one result dict
+        # must not mix two text roundings)
         t2v_rank_arr = np.asarray(
             fused_sim_rank(tn, cache, gt_cols, prenormalized=True))
-    elif cache is not None:
-        # no re-embed: rescore cache slices with the SAME program and
-        # block shapes as pass 1 -> bit-identical scores and counting
-        greater = jnp.zeros((T,), dtype=jnp.int32)
-        tie = jnp.zeros((T,), dtype=jnp.int32)
-        for col, width in block_layout:
-            S = _flat_scores_block(tn, cache[col:col + width], heads)
-            g, t = _count_inc(S, gt_scores, gt_cols, col)
-            greater = greater + g
-            tie = tie + t
-        t2v_rank_arr = np.asarray(greater + tie + 1)
     else:
+        if cache is not None:
+            # no re-embed: rescore cache slices with the SAME program and
+            # block shapes as pass 1 -> bit-identical scores and counting
+            pass2 = ((col, _flat_scores_block(tn, cache[col:col + width],
+                                              heads))
+                     for col, width in block_layout)
+        else:
+            pass2 = ((col, S) for col, item, S in blocks())
         greater = jnp.zeros((T,), dtype=jnp.int32)
         tie = jnp.zeros((T,), dtype=jnp.int32)
-        for col, item, S in blocks():
+        for col, S in pass2:
             g, t = _count_inc(S, gt_scores, gt_cols, col)
             greater = greater + g
             tie = tie + t

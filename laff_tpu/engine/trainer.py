@@ -955,7 +955,28 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     # to an uninterrupted one.
     resume_path = os.path.join(model_path, "model_resume.pth.tar")
     start_epoch = 0
-    if getattr(opt, "resume", 0) and os.path.exists(resume_path):
+    resume_exists = os.path.exists(resume_path)
+    if getattr(opt, "resume", 0) and multiproc:
+        # the resume decision MUST be collective: only process 0 writes
+        # model_resume.pth.tar, so on a non-shared filesystem a restart
+        # would have process 0 resume at epoch N while the others start
+        # fresh at epoch 0 — replicate() would then stamp a "replicated"
+        # sharding onto per-process-DIFFERENT arrays and the diverging
+        # epoch/early-stop counters end in wrong results or a collective
+        # mismatch hang. Fail loudly instead: multi-process resume
+        # requires model_path on a filesystem every process can read.
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            jnp.asarray([1 if resume_exists else 0], jnp.int32))
+        if int(flags.min()) != int(flags.max()):
+            raise RuntimeError(
+                f"--resume with {jax.process_count()} processes: "
+                f"{resume_path} is visible to only "
+                f"{int(flags.sum())}/{jax.process_count()} processes. "
+                "Multi-process resume requires model_path on a shared "
+                "filesystem (process 0 owns the checkpoint writes).")
+    if getattr(opt, "resume", 0) and resume_exists:
         from .checkpoint import load_checkpoint
 
         rk = load_checkpoint(resume_path)

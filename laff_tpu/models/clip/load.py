@@ -40,39 +40,56 @@ def available_models() -> List[str]:
     return list(_MODELS.keys())
 
 
+def _sha256_file(path: str) -> str:
+    """Chunked digest — released CLIP checkpoints are 250-400 MB; never
+    slurp them into memory just to hash."""
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        for chunk in iter(lambda: fh.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def _download(url: str, root: str) -> str:
     """Fetch ``url`` into ``root`` with sha256 verification
     (reference clip.py:26-53). A pre-placed file with a matching digest
     short-circuits the network entirely, which is the supported path in
-    zero-egress environments."""
+    zero-egress environments. The download lands in a per-process temp
+    file and is renamed into place only after the digest checks out, so
+    a concurrent loader in another process (multi-host pods share the
+    cache dir) or an interrupted download never leaves a corrupt file at
+    the final path."""
     os.makedirs(root, exist_ok=True)
     expected = url.split("/")[-2]
     target = os.path.join(root, os.path.basename(url))
     if os.path.exists(target) and not os.path.isfile(target):
         raise RuntimeError(f"{target} exists and is not a regular file")
     if os.path.isfile(target):
-        with open(target, "rb") as fh:
-            if hashlib.sha256(fh.read()).hexdigest() == expected:
-                return target
+        if _sha256_file(target) == expected:
+            return target
         warnings.warn(f"{target} exists, but the SHA256 checksum does not "
                       "match; re-downloading the file")
+    tmp = f"{target}.tmp.{os.getpid()}"
     try:
-        with urllib.request.urlopen(url) as src, open(target, "wb") as dst:
+        with urllib.request.urlopen(url) as src, open(tmp, "wb") as dst:
             while True:
                 buf = src.read(8192)
                 if not buf:
                     break
                 dst.write(buf)
     except OSError as e:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
         raise RuntimeError(
             f"could not download {url} ({e}); in an offline environment, "
             f"place the released checkpoint at {target} (sha256 {expected})"
         ) from e
-    with open(target, "rb") as fh:
-        if hashlib.sha256(fh.read()).hexdigest() != expected:
-            raise RuntimeError(
-                "Model has been downloaded but the SHA256 checksum does not "
-                "match")
+    if _sha256_file(tmp) != expected:
+        os.unlink(tmp)
+        raise RuntimeError(
+            "Model has been downloaded but the SHA256 checksum does not "
+            "match")
+    os.replace(tmp, target)  # atomic on POSIX: readers see old-or-new only
     return target
 
 

@@ -166,6 +166,81 @@ def trainer_worker(pid: int, port: int, root: str) -> None:
     print(_result_line(f"TRAINER-OK proc={pid}", result), flush=True)
 
 
+def trainer_resume_split_worker(pid: int, port: int, root: str) -> None:
+    """Divergent-resume guard: each process gets its OWN root (simulating
+    a non-shared filesystem) and only process 0 has a leftover
+    model_resume.pth.tar. Both processes must refuse the run with the
+    shared-filesystem error instead of silently diverging (process 0
+    resuming at epoch N while process 1 inits fresh)."""
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, REPO)
+
+    from laff_tpu.parallel import data_parallel_mesh, initialize_multihost
+
+    initialize_multihost(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+    opts = _trainer_opts(root, "rs_run")
+    opts.resume = 1
+    if pid == 0:
+        mp = os.path.join(root, "toytrain", "w2vvpp_train", "toyval",
+                          "tiny", "rs_run")
+        os.makedirs(mp, exist_ok=True)
+        with open(os.path.join(mp, "model_resume.pth.tar"), "wb") as fh:
+            fh.write(b"leftover")  # guard fires before any unpickling
+
+    from laff_tpu.engine.trainer import main as train_main
+
+    try:
+        train_main(opts, mesh=data_parallel_mesh())
+    except RuntimeError as e:
+        assert "shared filesystem" in str(e), e
+        print(f"RESUME-GUARD-OK proc={pid}", flush=True)
+        return
+    print(f"RESUME-GUARD-MISSED proc={pid}", flush=True)
+
+
+def trainer_resume_split_main() -> int:
+    import tempfile
+
+    sys.path.insert(0, REPO)
+    from laff_tpu.data.synth import build_collection, build_w2v
+
+    roots = []
+    for i in range(2):
+        root = tempfile.mkdtemp(prefix=f"mh_resume_{i}_")
+        build_collection(root, "toytrain", n_videos=32, caps_per_video=2,
+                         seed=0)
+        build_collection(root, "toyval", n_videos=16, caps_per_video=1,
+                         seed=5)
+        build_w2v(root)
+        roots.append(root)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    me = os.path.abspath(__file__)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, me, "--trainer-resume-worker", str(i),
+             str(port), roots[i]],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    ok = True
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=900)
+        if p.returncode != 0 or f"RESUME-GUARD-OK proc={i}" not in out:
+            ok = False
+            print(f"--- resume worker {i} rc={p.returncode} ---\n{out}")
+    print("multihost resume-guard smoke:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def trainer_single(root: str) -> None:
     """Single-process oracle on the SAME 4-device dp mesh (identical
     GSPMD program; only the process topology differs)."""
@@ -263,6 +338,12 @@ def main() -> int:
         return 0
     if len(sys.argv) > 1 and sys.argv[1] == "--trainer":
         return trainer_main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--trainer-resume-worker":
+        trainer_resume_split_worker(int(sys.argv[2]), int(sys.argv[3]),
+                                    sys.argv[4])
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "--trainer-resume-split":
+        return trainer_resume_split_main()
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -436,3 +436,7 @@ def test_clip_load_name_resolution(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="place the released checkpoint"):
         with pytest.warns(UserWarning, match="SHA256"):
             load("Tiny2", download_root=str(tmp_path))
+    # atomicity: the failed re-download never touched the existing file
+    # at the final path and left no temp droppings behind
+    assert (tmp_path / "Tiny2.pt").read_bytes() == b"garbage"
+    assert not list(tmp_path.glob("*.tmp.*"))

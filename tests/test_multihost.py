@@ -33,3 +33,18 @@ def test_two_process_full_trainer(tmp_path):
     out = proc.stdout + proc.stderr
     assert proc.returncode == 0, out
     assert "multihost trainer smoke: PASS" in out, out
+
+
+def test_two_process_resume_divergence_guard(tmp_path):
+    """--resume across 2 processes where only process 0 can see the
+    resume checkpoint (per-process roots simulate a non-shared
+    filesystem): every process must refuse the run with the
+    shared-filesystem error instead of silently diverging."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "shell", "multihost_smoke.py"),
+         "--trainer-resume-split"],
+        capture_output=True, text=True, timeout=900,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out
+    assert "multihost resume-guard smoke: PASS" in out, out

@@ -493,9 +493,18 @@ def test_rank_path_policy(monkeypatch):
         assert big == "pallas"
     else:
         assert big == "blockwise"
+    # auto mode is dtype-aware: fused_sim_rank casts to bf16 internally,
+    # so f32 embeddings beyond the budget must take blockwise (full
+    # precision), never pallas — on ANY backend
+    import jax.numpy as jnp
+    assert EV._rank_path(1001, 1000, dtype=jnp.float32) == "blockwise"
+    big_bf16 = EV._rank_path(1001, 1000, dtype=jnp.bfloat16)
+    assert big_bf16 == big  # bf16 keeps the backend-native choice
     for forced in ("flat", "pallas", "blockwise"):
         monkeypatch.setenv("LAFF_TPU_RANK_PATH", forced)
+        # a forced path wins regardless of dtype (explicit opt-in)
         assert EV._rank_path(10**9, 10**9) == forced
+        assert EV._rank_path(10**9, 10**9, dtype=jnp.float32) == forced
 
 
 def test_t2v_ranks_dispatch_boundary(monkeypatch):
