@@ -54,6 +54,11 @@ def parse_args(argv=None):
                         choices=[0, 1],
                         help="ship bow as sparse (ids, counts); densify "
                              "on device")
+    parser.add_argument("--stage_val_features", default=1, type=int,
+                        choices=[0, 1],
+                        help="stage the epoch-invariant validation feature "
+                             "batches in HBM once and replay them every "
+                             "epoch (bit-identical; budget-guarded)")
     parser.add_argument("--resume", default=0, type=int, choices=[0, 1],
                         help="resume a run (optimizer + LR state) from "
                              "model_resume.pth.tar")

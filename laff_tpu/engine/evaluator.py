@@ -58,6 +58,68 @@ def _appliers(model):
     return fns
 
 
+# Device-staged validation batches, keyed by the feed object. Validation
+# FEATURES are epoch-invariant (only the params change between epochs),
+# yet the plain path re-featurizes and re-uploads them every epoch — at
+# MV-test3k val scale that is ~0.25-0.5 GB per epoch of dense bow rows
+# riding a bandwidth-starved host link for identical bytes. Feeds that
+# set ``feed.stage_on_device = True`` (the trainer/sweep val feeds) get
+# their featurized batches uploaded ONCE and replayed from HBM on every
+# later pass. Weak-keyed: entries die with their feed (end of the run).
+_STAGED_FEEDS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_STAGE_BUDGET_ENV = "LAFF_TPU_EVAL_STAGE_BUDGET"
+_STAGE_BUDGET_DEFAULT = 4 * 1024**3  # bytes of HBM per staged feed
+
+
+def _device_batches(feed, bf16: bool, prefetch_depth: int, mesh):
+    """Yield ``(device_data, ids, valid)`` per batch, staging in HBM when
+    the feed opts in and the total fits the byte budget. Replayed batches
+    are the exact arrays the first pass computed on (same host cast, same
+    shard placement), so metrics are bit-identical to the unstaged path."""
+    from ..data import host_cast_bf16
+
+    def upload(data):
+        data = host_cast_bf16(data) if bf16 else data
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            return shard_batch(data, mesh)
+        return {k: jnp.asarray(v) for k, v in data.items()}
+
+    stage = bool(getattr(feed, "stage_on_device", False))
+    if stage:
+        entry = _STAGED_FEEDS.get(feed)
+        # bf16/mesh are fixed per run in practice; restage if they differ
+        if entry is not None and entry["key"] == (bf16, id(mesh)):
+            yield from entry["items"]
+            return
+    budget = int(os.environ.get(_STAGE_BUDGET_ENV, _STAGE_BUDGET_DEFAULT))
+    items, staged_bytes = [], 0
+    for item in Prefetcher(iter(feed), depth=prefetch_depth):
+        dev = upload(item["data"])
+        out = (dev, item["ids"], item["valid"])
+        if stage and items is not None:
+            staged_bytes += sum(
+                getattr(v, "nbytes", 0) for v in dev.values())
+            if staged_bytes > budget:
+                logger.info(
+                    "not staging eval feed on device: %d batches exceed "
+                    "the %d-byte budget (%s to raise)",
+                    len(items) + 1, budget, _STAGE_BUDGET_ENV)
+                items = None
+            else:
+                items.append(out)
+        yield out
+    if stage and items is not None:
+        try:
+            _STAGED_FEEDS[feed] = {"key": (bf16, id(mesh)), "items": items}
+            logger.info(
+                "staged eval feed on device: %d batches, %.1f MB HBM "
+                "(replayed on later passes)", len(items), staged_bytes / 2**20)
+        except TypeError:  # non-weakrefable feed
+            pass
+
+
 class Embedder:
     """Jitted tower application with static batch shapes.
 
@@ -77,20 +139,12 @@ class Embedder:
         self._txt, self._vis = _appliers(model)
 
     def _embed(self, fn, feed: EvalFeed, bf16: bool) -> Tuple[jnp.ndarray, List[str]]:
-        from ..data import host_cast_bf16
-
         chunks, ids = [], []
-        for item in Prefetcher(iter(feed), depth=self.prefetch_depth):
-            data = host_cast_bf16(item["data"]) if bf16 else item["data"]
-            if self.mesh is not None:
-                from ..parallel import shard_batch
-
-                dev = shard_batch(data, self.mesh)
-            else:
-                dev = {k: jnp.asarray(v) for k, v in data.items()}
+        for dev, batch_ids, valid in _device_batches(
+                feed, bf16, self.prefetch_depth, self.mesh):
             emb = fn(self.variables, dev)
-            chunks.append(emb[: item["valid"]] if item["valid"] < emb.shape[0] else emb)
-            ids.extend(item["ids"])
+            chunks.append(emb[:valid] if valid < emb.shape[0] else emb)
+            ids.extend(batch_ids)
         return jnp.concatenate(chunks, axis=0), ids
 
     def embed_txt(self, feed: EvalFeed):

@@ -85,6 +85,11 @@ class Options:
     # TPU-native extension: ship bow vectors as sparse (ids, counts) pairs
     # and densify on device (FusionTower scatter).
     device_text_featurize: int = 0
+    # TPU-native extension: stage the (epoch-invariant) validation feature
+    # batches in HBM on the first validation pass and replay them every
+    # later epoch — bit-identical metrics, zero repeat host traffic.
+    # Budget-guarded (LAFF_TPU_EVAL_STAGE_BUDGET bytes); 0 = off.
+    stage_val_features: int = 1
     # TPU-native extension: FULL resume (optimizer + LR controller +
     # counters) from <model_dir>/model_resume.pth.tar; bit-identical to an
     # uninterrupted run (the reference can only warm-start weights).

@@ -265,14 +265,14 @@ class SweepEmbedder:
         self.prefetch_depth = prefetch_depth
 
     def _embed(self, fn, feed: EvalFeed, bf16: bool):
+        from .evaluator import _device_batches
+
         chunks, ids = [], []
-        for item in Prefetcher(iter(feed), depth=self.prefetch_depth):
-            data = host_cast_bf16(item["data"]) if bf16 else item["data"]
-            dev = {k: jnp.asarray(v) for k, v in data.items()}
+        for dev, batch_ids, valid in _device_batches(
+                feed, bf16, self.prefetch_depth, mesh=None):
             emb = fn(self.vars, dev)  # (S, B, ...)
-            chunks.append(emb[:, : item["valid"]]
-                          if item["valid"] < emb.shape[1] else emb)
-            ids.extend(item["ids"])
+            chunks.append(emb[:, :valid] if valid < emb.shape[1] else emb)
+            ids.extend(batch_ids)
         return jnp.concatenate(chunks, axis=1), ids
 
     def embed_txt(self, feed):
@@ -494,6 +494,10 @@ def sweep_main(opt, seeds: List[int], prepared: Optional[Prepared] = None,
         prepared.val_vis_ids, prepared.val_vis_batcher,
         batch_size=getattr(config, "eval_batch_size", 1024),
     )
+    if getattr(opt, "stage_val_features", 1):
+        # epoch-invariant val features: upload once, replay from HBM
+        val_txt_feed.stage_on_device = True
+        val_vis_feed.stage_on_device = True
 
     best_perf = [0.0] * S
     no_impr = [0] * S

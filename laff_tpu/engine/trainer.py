@@ -927,6 +927,12 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         prepared.val_vis_batcher,
         batch_size=getattr(config, "eval_batch_size", 1024),
     )
+    if getattr(opt, "stage_val_features", 1):
+        # validation FEATURES are epoch-invariant — featurize + upload
+        # once, replay from HBM every later epoch (evaluator staging;
+        # budget-guarded, bit-identical to the unstaged path)
+        val_txt_feed.stage_on_device = True
+        val_vis_feed.stage_on_device = True
 
     best_perf = 0.0
     no_impr = 0

@@ -48,16 +48,32 @@ def run_step_bench(batch: int, cached_k: int = 32, timeout: int = 1200):
 
 
 def measure_val_pass():
-    """Per-epoch validation wall at MSR-VTT val scale: embed 9,940
-    captions + 497 videos through the flagship towers, rank on device."""
+    """Per-epoch validation wall at MSR-VTT val scale through the
+    PRODUCTION path (``evaluator.validate`` + ``Embedder``): embed 9,940
+    captions + 497 videos through the flagship bf16 towers, rank on
+    device. Returns (staged_steady, unstaged, first_epoch_extra):
+    production trainer feeds set ``stage_on_device`` so every epoch
+    after the first replays the featurized batches from HBM (staged);
+    ``unstaged`` is the pre-staging cost (re-upload every epoch) kept
+    for comparison."""
+    import dataclasses
+
     import jax
     import numpy as np
 
     import __graft_entry__ as ge
-    from laff_tpu.engine import evaluator as EV
+    from laff_tpu.data import EvalFeed
+    from laff_tpu.engine.evaluator import Embedder, validate
     from laff_tpu.models import LAFFModel
 
     spec = ge._flagship_spec()
+    # headline FrameLAFF config trains with float16/AMP -> bf16 here,
+    # matching the --bf16 step rows
+    spec = dataclasses.replace(
+        spec,
+        txt=dataclasses.replace(spec.txt, compute_dtype="bfloat16"),
+        vis=dataclasses.replace(spec.vis, compute_dtype="bfloat16"),
+    )
     model = LAFFModel(spec)
     rng = np.random.default_rng(0)
     txt, vis = ge._example_batch(rng, b=1024, spec=spec)
@@ -66,74 +82,94 @@ def measure_val_pass():
     )
     eval_vars = {k: variables[k] for k in variables}
 
-    txt_fn = jax.jit(lambda v, b: model.apply(v, b, method=model.encode_txt))
-    vis_fn = jax.jit(lambda v, b: model.apply(v, b, method=model.encode_vis))
-
-    def txt_batch(b, seed):
-        t, _ = ge._example_batch(np.random.default_rng(seed), b=b, spec=spec)
-        return {k: np.asarray(v) for k, v in t.items()}
-
-    def vis_batch(b):
-        _, v = ge._example_batch(np.random.default_rng(2), b=b, spec=spec)
-        return {k: np.asarray(vv) for k, vv in v.items()}
-
-    # Stage all val batches host-side BEFORE timing: production val
-    # features stream from memmapped BigFiles (microseconds per batch);
-    # synthesizing ~100 MB of random features per chunk on the host is a
-    # bench-harness artifact that once inflated this number 10x. Two
-    # distinct sets (warmup + timed) so the dispatch stack cannot elide
-    # repeats.
-    import jax.numpy as jnp
-
-    n_chunks = -(-MSRVTT_VAL_CAPS // 1024)
+    # Pregenerate all val features host-side BEFORE timing: production
+    # val features stream from memmapped BigFiles (microseconds per
+    # batch); synthesizing ~100 MB of random features per chunk on the
+    # host is a bench-harness artifact that once inflated this number 10x.
     txt_ids = [f"v{i % MSRVTT_VAL_VIDEOS}#0" for i in range(MSRVTT_VAL_CAPS)]
     vis_ids = [f"v{i}" for i in range(MSRVTT_VAL_VIDEOS)]
+    txt_all, _ = ge._example_batch(
+        np.random.default_rng(1), b=MSRVTT_VAL_CAPS, spec=spec)
+    _, vis_all = ge._example_batch(
+        np.random.default_rng(2), b=MSRVTT_VAL_VIDEOS, spec=spec)
+    t_index = {tid: i for i, tid in enumerate(txt_ids)}
+    v_index = {vid: i for i, vid in enumerate(vis_ids)}
 
-    def one_pass(batches, vis_b):
-        txt_chunks = [txt_fn(eval_vars, b) for b in batches]
-        vis_embs = vis_fn(eval_vars, vis_b)[:MSRVTT_VAL_VIDEOS]
-        txt_embs = jnp.concatenate(txt_chunks, axis=0)[:MSRVTT_VAL_CAPS]
-        ranks = np.asarray(EV.t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids))
-        assert ranks.shape == (MSRVTT_VAL_CAPS,)
+    def txt_batcher(ids):
+        rows = np.asarray([t_index[i] for i in ids])
+        return {k: v[rows] for k, v in txt_all.items()}
 
-    warm = [txt_batch(1024, seed=100 + i) for i in range(n_chunks)]
-    timed = [txt_batch(1024, seed=200 + i) for i in range(n_chunks)]
-    vis_b = vis_batch(512)
+    def vis_batcher(ids):
+        rows = np.asarray([v_index[i] for i in ids])
+        return {k: v[rows] for k, v in vis_all.items()}
 
-    # warm up the WHOLE pipeline (tower jits + concat + counting-rank
-    # program): the per-epoch val cost is the steady-state cost — epoch 1
-    # additionally pays these compiles once per run, reported separately
+    def feeds(staged):
+        tf = EvalFeed(txt_ids, txt_batcher, batch_size=1024)
+        vf = EvalFeed(vis_ids, vis_batcher, batch_size=512)
+        tf.stage_on_device = vf.stage_on_device = staged
+        return tf, vf
+
+    embedder = Embedder(model, eval_vars)
+
+    def one_pass(tf, vf):
+        m = validate(embedder, tf, vf)
+        assert np.asarray(m["ranks"]).shape == (MSRVTT_VAL_CAPS,)
+
+    # pass 1 warms the WHOLE pipeline (tower jits + counting-rank
+    # program) and stages the feeds; per-epoch val cost is the
+    # steady-state replay. Epoch 1 additionally pays the compiles once
+    # per run, reported separately.
+    tf, vf = feeds(staged=True)
     t0 = time.perf_counter()
-    one_pass(warm, vis_b)
+    one_pass(tf, vf)
     compile_wall = time.perf_counter() - t0
-
     t0 = time.perf_counter()
-    one_pass(timed, vis_b)
-    return time.perf_counter() - t0, compile_wall
+    one_pass(tf, vf)
+    staged_wall = time.perf_counter() - t0
+
+    # the pre-staging production cost: featurize + upload every epoch
+    tfu, vfu = feeds(staged=False)
+    t0 = time.perf_counter()
+    one_pass(tfu, vfu)
+    unstaged_wall = time.perf_counter() - t0
+    return staged_wall, unstaged_wall, compile_wall
 
 
 def main():
     out = {"metric": "flagship_train_headline", "unit": "hours_full_train"}
+    ver = os.environ.get("LAFF_TPU_BENCH_ROUND", "r04")
+    path = os.path.join(ROOT, f"BENCH_TRAIN_{ver}.json")
 
-    # reference regime (batch 64) + production default (128) + headroom rows
-    rows = {}
-    for batch in (64, 128, 512, 2048):
-        try:
-            r = run_step_bench(batch)
-        except Exception as e:  # noqa: BLE001 — record, keep the artifact
-            rows[batch] = {"error": str(e)[-300:]}
-            continue
-        ms = r["cached_wall_ms_per_step"]
-        rows[batch] = {
-            "ms_per_step": ms,
-            "steps_per_sec": r["cached_steps_per_sec_wall"],
-            "captions_per_sec": round(batch * 1000.0 / ms, 1),
-            "mfu_wall": r["cached_mfu_wall"],
-        }
+    if "--val_only" in sys.argv and os.path.exists(path):
+        # re-measure only the validation pass (e.g. after an evaluator
+        # change); the step rows are per-batch subprocess measurements
+        # unaffected by it. The artifact notes the reuse.
+        with open(path) as fh:
+            prev = json.load(fh)
+        rows = {int(k): v for k, v in prev["step_by_batch"].items()}
+        out["step_rows_reused_from"] = prev.get("captured", ver)
+    else:
+        # reference regime (batch 64) + production default (128) +
+        # headroom rows
+        rows = {}
+        for batch in (64, 128, 512, 2048):
+            try:
+                r = run_step_bench(batch)
+            except Exception as e:  # noqa: BLE001 — record, keep artifact
+                rows[batch] = {"error": str(e)[-300:]}
+                continue
+            ms = r["cached_wall_ms_per_step"]
+            rows[batch] = {
+                "ms_per_step": ms,
+                "steps_per_sec": r["cached_steps_per_sec_wall"],
+                "captions_per_sec": round(batch * 1000.0 / ms, 1),
+                "mfu_wall": r["cached_mfu_wall"],
+            }
     out["step_by_batch"] = rows
 
-    val_wall, val_compile = measure_val_pass()
+    val_wall, val_unstaged, val_compile = measure_val_pass()
     out["val_pass_seconds"] = round(val_wall, 2)
+    out["val_pass_unstaged_seconds"] = round(val_unstaged, 2)
     out["val_first_epoch_extra_seconds"] = round(val_compile - val_wall, 2)
 
     ref_row = rows.get(REF_BATCH, {})
@@ -159,8 +195,6 @@ def main():
         out["value"] = out["extrapolated_hours_80_epochs"]
         out["vs_baseline"] = out["speedup_vs_ref"]
 
-    ver = os.environ.get("LAFF_TPU_BENCH_ROUND", "r04")
-    path = os.path.join(ROOT, f"BENCH_TRAIN_{ver}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))

@@ -742,3 +742,57 @@ def test_train_strategy_subset(tmp_path):
     assert np.isfinite(result["best_perf"]) and result["best_perf"] > 0
     assert os.path.exists(os.path.join(result["model_path"],
                                        "model_best.pth.tar"))
+
+
+def test_staged_eval_feed_replays_device_batches(monkeypatch):
+    """Feeds marked stage_on_device featurize+upload once; later passes
+    replay the exact device arrays (bit-identical, zero repeat host work)."""
+    from laff_tpu.data import EvalFeed
+    from laff_tpu.engine.evaluator import _device_batches
+
+    rng = np.random.default_rng(0)
+    table = {f"v{i}": rng.standard_normal((8,)).astype(np.float32)
+             for i in range(10)}
+    calls = {"n": 0}
+
+    def batcher(ids):
+        calls["n"] += 1
+        return {"feat": np.stack([table[i] for i in ids])}
+
+    feed = EvalFeed(list(table), batcher, batch_size=4)
+    feed.stage_on_device = True
+
+    first = list(_device_batches(feed, bf16=False, prefetch_depth=1, mesh=None))
+    n_host = calls["n"]
+    assert n_host == 3  # 10 ids / batch 4
+    second = list(_device_batches(feed, bf16=False, prefetch_depth=1, mesh=None))
+    assert calls["n"] == n_host  # replayed: no new featurization
+    assert [i for _, ids, _ in second for i in ids] == list(table)
+    for (d1, _, v1), (d2, _, v2) in zip(first, second):
+        assert v1 == v2
+        assert d1["feat"] is d2["feat"]  # the same staged device array
+
+    # over-budget feeds fall back to per-pass featurization, same values
+    monkeypatch.setenv("LAFF_TPU_EVAL_STAGE_BUDGET", "1")
+    feed2 = EvalFeed(list(table), batcher, batch_size=4)
+    feed2.stage_on_device = True
+    calls["n"] = 0
+    a = list(_device_batches(feed2, bf16=False, prefetch_depth=1, mesh=None))
+    b = list(_device_batches(feed2, bf16=False, prefetch_depth=1, mesh=None))
+    assert calls["n"] == 6  # both passes featurized
+    for (d1, _, _), (d2, _, _) in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(d1["feat"]),
+                                      np.asarray(d2["feat"]))
+
+
+def test_train_main_staged_val_matches_unstaged(tiny_world):
+    """stage_val_features must not change a single reported metric: the
+    staged replay path serves the exact arrays the unstaged path uploads
+    every epoch."""
+    r_staged = main(make_opt(tiny_world, num_epochs=3,
+                             model_prefix="run_staged", stage_val_features=1))
+    r_plain = main(make_opt(tiny_world, num_epochs=3,
+                            model_prefix="run_unstaged", stage_val_features=0))
+    assert r_staged["best_perf"] == pytest.approx(r_plain["best_perf"], abs=0)
+    for e1, e2 in zip(r_staged["history"], r_plain["history"]):
+        assert e1 == e2, (e1, e2)
