@@ -125,19 +125,35 @@ def main(opt, mesh=None) -> Dict:
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # validation inputs are epoch-invariant (tokenized captions +
+    # decoded/preprocessed frames — the frame decode alone costs seconds
+    # per epoch): featurize once, and stage on device when they fit the
+    # byte budget so later epochs replay from HBM
+    def _stage_items(items):
+        budget = int(os.environ.get("LAFF_TPU_EVAL_STAGE_BUDGET", 4 * 1024**3))
+        staged, total = [], 0
+        for item in items:
+            dev = {k: jnp.asarray(v) for k, v in item["data"].items()}
+            total += sum(v.nbytes for v in dev.values())
+            if total > budget:
+                return items  # keep host arrays; upload per epoch
+            staged.append({**item, "data": dev})
+        return staged
+
+    val_txt_items = _stage_items(list(eval_batches(
+        val_tsource.cap_ids,
+        lambda ids: {"clip_ids": tokenize(val_tsource.captions_for(ids),
+                                          text_cfg.context_length)},
+        opt.batch_size,
+    )))
+    val_vis_items = _stage_items(list(eval_batches(
+        val_vis_ids,
+        lambda ids: {"frames": val_images.batch(ids)},
+        max(opt.batch_size // 4, 1),
+    )))
+
     def validate(params) -> float:
         embedder = Embedder(model, {"params": params})
-        txt_items = list(eval_batches(
-            val_tsource.cap_ids,
-            lambda ids: {"clip_ids": tokenize(val_tsource.captions_for(ids),
-                                              text_cfg.context_length)},
-            opt.batch_size,
-        ))
-        vis_items = list(eval_batches(
-            val_vis_ids,
-            lambda ids: {"frames": val_images.batch(ids)},
-            max(opt.batch_size // 4, 1),
-        ))
 
         def collect(items, fn):
             chunks, ids = [], []
@@ -148,8 +164,8 @@ def main(opt, mesh=None) -> Dict:
                 ids.extend(item["ids"])
             return jnp.concatenate(chunks), ids
 
-        txt_embs, txt_ids = collect(txt_items, embedder._txt)
-        vis_embs, vis_ids = collect(vis_items, embedder._vis)
+        txt_embs, txt_ids = collect(val_txt_items, embedder._txt)
+        vis_embs, vis_ids = collect(val_vis_items, embedder._vis)
         ranks = t2v_ranks(txt_embs, vis_embs, txt_ids, vis_ids)
         return metrics_from_ranks(ranks)
 
