@@ -15,7 +15,15 @@ matmul pipelining at this gallery size).
 
 Timing methodology: inputs are perturbed per iteration and the ranks are
 materialized to host each iteration — async dispatch through the device
-tunnel otherwise under-reports wall clock by >10x.
+tunnel otherwise under-reports wall clock by >10x. Device time comes
+from K-DIFFERENCING (see bench_ours) so tunnel RTT/readback cancel.
+
+OUTAGE-PROOFING: every phase that touches the device (each kernel, the
+RTT probe) and the torch reference baseline runs in its OWN subprocess
+with a hard timeout, and main() prints exactly ONE parseable JSON line
+on EVERY exit path — success, per-kernel failure, or backend-down — so
+a TPU outage is a recorded fact ({"error": "backend_unavailable", ...})
+instead of an rc=124/null (which is what round 4's driver capture got).
 
 Baseline: the reference ranking algorithm (per-head torch matmuls +
 full host np.argsort — model/model.py:1056-1076 + trainer.py:584)
@@ -28,14 +36,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 T, V, H, D = 59800, 2990, 8, 512
 
-
 PEAK_BF16 = 197e12  # TPU v5e bf16 peak FLOP/s
+
+K_MANY = 9  # iterations fused into one dispatch for the k-differencing
+
+# Hard per-phase subprocess timeouts (seconds). Total worst case stays
+# well under the driver's kill window even with the probe phase maxed.
+PROBE_MAX_S = 360
+KERNEL_TIMEOUT_S = 330
+RTT_TIMEOUT_S = 120
+REF_TIMEOUT_S = 240
 
 
 def null_rtt(n=6):
@@ -61,10 +80,18 @@ def null_rtt(n=6):
     return min(times)
 
 
-K_MANY = 9  # iterations fused into one dispatch for the k-differencing
+def measure_kernel(name):
+    """Compile + measure ONE ranking kernel; returns a result dict.
 
-
-def bench_ours():
+    Device time via K-DIFFERENCING: one dispatch runs k ranking passes
+    under lax.scan (distinct per-pass scale arguments — cosine ranking
+    is scale-invariant, so every pass computes identical ranks without
+    XLA being able to CSE them) and returns the summed (T,) ranks.
+    device_per_iter = (wall[k=K_MANY] - wall[k=1]) / (K_MANY - 1):
+    tunnel RTT + 239 KB readback appear identically in both and cancel
+    WITHIN the same congestion regime, unlike subtracting a null-probe
+    RTT measured at a different moment (observed drifting 25 -> 50 ms
+    between probes on a congested day, which once produced MFU > 1)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -72,32 +99,6 @@ def bench_ours():
     from laff_tpu.eval import flat_sim_ranks
     from laff_tpu.ops.norms import l2norm
     from laff_tpu.ops.pallas_kernels import fused_sim_rank
-
-    rng = np.random.default_rng(0)
-    # production state: LAFF attention outputs are unit-norm per head, so
-    # the eval pipeline starts from normalized embeddings
-    txt = l2norm(jnp.asarray(rng.standard_normal((T, H, D)).astype(np.float32)), axis=-1)
-    vis = l2norm(jnp.asarray(rng.standard_normal((V, H, D)).astype(np.float32)), axis=-1)
-    gt = jnp.asarray(rng.integers(0, V, (T,)).astype(np.int32))
-
-    # Device time via K-DIFFERENCING: one dispatch runs k ranking passes
-    # under lax.scan (distinct per-pass scale arguments — cosine ranking
-    # is scale-invariant, so every pass computes identical ranks without
-    # XLA being able to CSE them) and returns the summed (T,) ranks.
-    # device_per_iter = (wall[k=K_MANY] - wall[k=1]) / (K_MANY - 1):
-    # tunnel RTT + 239 KB readback appear identically in both and cancel
-    # WITHIN the same congestion regime, unlike subtracting a null-probe
-    # RTT measured at a different moment (observed drifting 25 -> 50 ms
-    # between probes on a congested day, which once produced MFU > 1).
-    def scan_ranks(kernel):
-        def f(tx, vn, g, scales):
-            def body(acc, s):
-                return acc + kernel(tx * s, vn, g), None
-
-            acc, _ = lax.scan(body, jnp.zeros((T,), jnp.int32), scales)
-            return acc
-
-        return jax.jit(f)
 
     kernels = {
         # single flat bf16 matmul + fused counting; the (T, V) score
@@ -110,35 +111,44 @@ def bench_ours():
             tx, vn, g, block_t=256, block_v=1024, prenormalized=True
         ),
     }
+    kernel = kernels[name]
+
+    rng = np.random.default_rng(0)
+    # production state: LAFF attention outputs are unit-norm per head, so
+    # the eval pipeline starts from normalized embeddings
+    txt = l2norm(jnp.asarray(rng.standard_normal((T, H, D)).astype(np.float32)), axis=-1)
+    vis = l2norm(jnp.asarray(rng.standard_normal((V, H, D)).astype(np.float32)), axis=-1)
+    gt = jnp.asarray(rng.integers(0, V, (T,)).astype(np.int32))
+
+    def f(tx, vn, g, scales):
+        def body(acc, s):
+            return acc + kernel(tx * s, vn, g), None
+
+        acc, _ = lax.scan(body, jnp.zeros((T,), jnp.int32), scales)
+        return acc
+
+    fn = jax.jit(f)
 
     def scales_for(k, i):
         return jnp.float32(1.0) + 1e-6 * jnp.arange(k) + jnp.float32(1e-7 * i)
 
-    best = None
-    for name, kernel in kernels.items():
-        try:
-            fn = scan_ranks(kernel)
-            walls = {}
-            for k in (1, K_MANY):
-                np.asarray(fn(txt, vis, gt, scales_for(k, 0)))  # compile
-                np.asarray(fn(txt, vis, gt, scales_for(k, 1)))  # settle
-            # interleave k=1 / k=K so both see the same tunnel regime
-            for rep in range(4):
-                for k in (1, K_MANY):
-                    t0 = time.perf_counter()
-                    ranks = np.asarray(fn(txt, vis, gt, scales_for(k, 2 + rep)))
-                    walls.setdefault(k, []).append(time.perf_counter() - t0)
-            assert ranks.shape == (T,)
-            wall1 = min(walls[1])
-            device = (min(walls[K_MANY]) - wall1) / (K_MANY - 1)
-            if device <= 0:  # tunnel noise swamped the signal
-                device = float("nan")
-            qps_wall = T / wall1
-            if best is None or qps_wall > best[1]:
-                best = (name, qps_wall, wall1, device)
-        except Exception as e:  # pallas unavailable on this backend etc.
-            print(f"# {name} failed: {e}")
-    return best
+    walls = {}
+    for k in (1, K_MANY):
+        np.asarray(fn(txt, vis, gt, scales_for(k, 0)))  # compile
+        np.asarray(fn(txt, vis, gt, scales_for(k, 1)))  # settle
+    # interleave k=1 / k=K so both see the same tunnel regime
+    for rep in range(4):
+        for k in (1, K_MANY):
+            t0 = time.perf_counter()
+            ranks = np.asarray(fn(txt, vis, gt, scales_for(k, 2 + rep)))
+            walls.setdefault(k, []).append(time.perf_counter() - t0)
+    assert ranks.shape == (T,)
+    wall1 = min(walls[1])
+    device = (min(walls[K_MANY]) - wall1) / (K_MANY - 1)
+    if device <= 0:  # tunnel noise swamped the signal
+        device = None
+    return {"name": name, "wall_s": wall1, "device_s": device,
+            "wall_qps": T / wall1}
 
 
 def bench_reference_algorithm(sample_t=8192):
@@ -164,17 +174,15 @@ def bench_reference_algorithm(sample_t=8192):
     return sample_t / dt
 
 
-def wait_for_backend(max_wait_s: int = 900, probe_timeout_s: int = 120):
-    """Wait out transient TPU-backend outages before importing jax here.
+def wait_for_backend(max_wait_s: int = PROBE_MAX_S, probe_timeout_s: int = 90):
+    """Wait out transient TPU-backend outages before touching jax here.
 
     Backend init failure is terminal for a process (jax caches the error),
     so probe in SUBPROCESSES and only proceed once one succeeds. The
     remote axon backend has been observed to go UNAVAILABLE for tens of
-    minutes after a client was killed mid-compile; without this, a badly
-    timed bench run records a crash instead of a number."""
-    import subprocess
-    import sys
-
+    minutes after a client was killed mid-compile. Returns True when the
+    backend answered, False when the wait window expired — the caller
+    records a structured outage instead of wedging (round 4's rc=124)."""
     code = ("import jax, numpy as np, jax.numpy as jnp; "
             "np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((4,)))); "
             "print('ok')")
@@ -187,7 +195,7 @@ def wait_for_backend(max_wait_s: int = 900, probe_timeout_s: int = 120):
                                capture_output=True, text=True,
                                timeout=probe_timeout_s)
             if r.returncode == 0 and "ok" in r.stdout:
-                return
+                return True
             err = (r.stderr or r.stdout).strip().splitlines()
             err = err[-1] if err else "unknown"
         except subprocess.TimeoutExpired:
@@ -195,46 +203,127 @@ def wait_for_backend(max_wait_s: int = 900, probe_timeout_s: int = 120):
         if time.time() >= deadline:
             print(f"# backend probe still failing after {max_wait_s}s: {err}",
                   flush=True)
-            return  # proceed; the real run will surface the error
+            return False
         print(f"# backend probe {attempt} failed ({err}); retrying...",
               flush=True)
-        time.sleep(60)
+        time.sleep(30)
 
 
-def main():
+def _run_phase(argv_flag, timeout_s):
+    """Run one measurement phase as `python bench.py <flag>` with a hard
+    timeout; returns (parsed_json_or_None, error_string_or_None)."""
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), argv_flag],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout_s}s"
+    for line in reversed((r.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                break
+    tail = (r.stderr or r.stdout or "").strip().splitlines()
+    return None, (tail[-1] if tail else f"rc={r.returncode}")
+
+
+def _phase_main(flag):
+    """Child-process entry: one phase, one JSON line, exit."""
     from laff_tpu.utils.misc import enable_compile_cache
 
     enable_compile_cache()
-    wait_for_backend()
-    name, qps_wall, wall, device = bench_ours()
-    rtt = null_rtt()
+    if flag.startswith("--_kernel="):
+        print(json.dumps(measure_kernel(flag.split("=", 1)[1])), flush=True)
+    elif flag == "--_rtt":
+        print(json.dumps({"rtt_s": null_rtt()}), flush=True)
+    elif flag == "--_ref":
+        print(json.dumps({"ref_qps": bench_reference_algorithm()}), flush=True)
+    else:
+        raise SystemExit(f"unknown phase flag {flag}")
+
+
+def _fail(error, detail=None):
+    """The guaranteed-parseable failure line (same schema, value null)."""
+    out = {
+        "metric": "mvtest3k_sim_rank_queries_per_sec_per_chip",
+        "value": None,
+        "unit": "queries/s",
+        "vs_baseline": None,
+        "error": error,
+    }
+    if detail:
+        out["detail"] = detail
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    if wait_for_backend():
+        backend_ok = True
+    else:
+        backend_ok = False
+
+    # reference baseline is host-torch: measure it regardless (bounded)
+    ref, ref_err = _run_phase("--_ref", REF_TIMEOUT_S)
+    qps_ref = ref["ref_qps"] if ref else None
+
+    if not backend_ok:
+        _fail("backend_unavailable",
+              f"probe window {PROBE_MAX_S}s expired; ref_qps={qps_ref}")
+        return
+
+    results, errors = [], {}
+    for name in ("xla_flat_count", "pallas_fused"):
+        res, err = _run_phase(f"--_kernel={name}", KERNEL_TIMEOUT_S)
+        if res:
+            results.append(res)
+        else:
+            errors[name] = err
+            print(f"# kernel {name} failed: {err}", flush=True)
+
+    if not results:
+        _fail("all_kernels_failed", errors)
+        return
+
+    rtt_res, _ = _run_phase("--_rtt", RTT_TIMEOUT_S)
+    rtt = rtt_res["rtt_s"] if rtt_res else 0.0
+
+    best = max(results, key=lambda r: r["wall_qps"])
+    wall = best["wall_s"]
     # headline = device-side throughput: the per-CHIP number, independent
     # of this harness's development-tunnel RTT (a host-attached chip in
     # production does not pay it). Primary estimate is the k-differenced
     # per-iteration device time (RTT/readback cancel); if tunnel noise
     # swamped the difference, fall back to wall minus the payload-matched
     # null probe, floored at 2% of wall. Wall numbers stay as fields.
-    if device == device:  # not NaN
-        device_s = device
+    if best["device_s"] is not None:
+        device_s = best["device_s"]
     else:
         device_s = max(wall - rtt, 0.02 * wall)
     qps_device = T / device_s
     flops = 2.0 * T * V * H * D  # one flat (T, HD) x (HD, V) contraction
-    qps_ref = bench_reference_algorithm()
-    print(json.dumps({
+    out = {
         "metric": "mvtest3k_sim_rank_queries_per_sec_per_chip",
         "value": round(qps_device, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps_device / qps_ref, 2),
-        "path": name,
+        "vs_baseline": round(qps_device / qps_ref, 2) if qps_ref else None,
+        "path": best["name"],
         "wall_s": round(wall, 4),
-        "wall_queries_per_sec": round(qps_wall, 1),
-        "wall_vs_baseline": round(qps_wall / qps_ref, 2),
+        "wall_queries_per_sec": round(best["wall_qps"], 1),
+        "wall_vs_baseline": round(best["wall_qps"] / qps_ref, 2) if qps_ref else None,
         "tunnel_rtt_s": round(rtt, 4),
         "device_s": round(device_s, 4),
         "mfu": round(flops / device_s / PEAK_BF16, 4),
-    }))
+    }
+    if errors:
+        out["kernel_errors"] = errors
+    if ref_err:
+        out["ref_error"] = ref_err
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--_"):
+        _phase_main(sys.argv[1])
+    else:
+        main()

@@ -128,36 +128,49 @@ def main(opt, mesh=None) -> Dict:
     # validation inputs are epoch-invariant (tokenized captions +
     # decoded/preprocessed frames — the frame decode alone costs seconds
     # per epoch): featurize once, and stage on device when they fit the
-    # byte budget so later epochs replay from HBM
-    def _stage_items(items):
+    # byte budget so later epochs replay from HBM. Opt-out via
+    # ``--stage_val_features 0`` (same flag as trainer.py/sweep.py); when
+    # staging is off — or the byte budget overflows — validation batches
+    # are REGENERATED lazily each epoch rather than pinned in host RAM
+    # (decoded f32 frames can be multi-GB at larger galleries).
+    stage_val = bool(int(getattr(opt, "stage_val_features", 1) or 0))
+
+    def _stage_items(make_batches):
+        if not stage_val:
+            return make_batches  # lazy: per-epoch streaming, nothing pinned
         budget = int(os.environ.get("LAFF_TPU_EVAL_STAGE_BUDGET", 4 * 1024**3))
         staged, total = [], 0
-        for item in items:
+        for item in make_batches():
             dev = {k: jnp.asarray(v) for k, v in item["data"].items()}
             total += sum(v.nbytes for v in dev.values())
             if total > budget:
-                return items  # keep host arrays; upload per epoch
+                logger.info(
+                    "not staging end2end val feed: %d batches exceed the "
+                    "%d-byte budget (LAFF_TPU_EVAL_STAGE_BUDGET to raise); "
+                    "falling back to per-epoch streaming", len(staged) + 1,
+                    budget)
+                return make_batches  # lazy fallback; drop what we staged
             staged.append({**item, "data": dev})
         return staged
 
-    val_txt_items = _stage_items(list(eval_batches(
+    val_txt_items = _stage_items(lambda: eval_batches(
         val_tsource.cap_ids,
         lambda ids: {"clip_ids": tokenize(val_tsource.captions_for(ids),
                                           text_cfg.context_length)},
         opt.batch_size,
-    )))
-    val_vis_items = _stage_items(list(eval_batches(
+    ))
+    val_vis_items = _stage_items(lambda: eval_batches(
         val_vis_ids,
         lambda ids: {"frames": val_images.batch(ids)},
         max(opt.batch_size // 4, 1),
-    )))
+    ))
 
     def validate(params) -> float:
         embedder = Embedder(model, {"params": params})
 
         def collect(items, fn):
             chunks, ids = [], []
-            for item in items:
+            for item in (items() if callable(items) else items):
                 emb = fn(embedder.variables,
                          {k: jnp.asarray(v) for k, v in item["data"].items()})
                 chunks.append(emb[: item["valid"]])

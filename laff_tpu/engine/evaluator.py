@@ -69,6 +69,10 @@ def _appliers(model):
 _STAGED_FEEDS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _STAGE_BUDGET_ENV = "LAFF_TPU_EVAL_STAGE_BUDGET"
 _STAGE_BUDGET_DEFAULT = 4 * 1024**3  # bytes of HBM per staged feed
+# Sentinel for "staged with mesh=None": distinct from a DEAD weakref's
+# None so an entry whose mesh was collected can never replay for a
+# later mesh=None run (the arrays were placed for the dead mesh).
+_NO_MESH = object()
 
 
 def _device_batches(feed, bf16: bool, prefetch_depth: int, mesh):
@@ -89,8 +93,15 @@ def _device_batches(feed, bf16: bool, prefetch_depth: int, mesh):
     stage = bool(getattr(feed, "stage_on_device", False))
     if stage:
         entry = _STAGED_FEEDS.get(feed)
-        # bf16/mesh are fixed per run in practice; restage if they differ
-        if entry is not None and entry["key"] == (bf16, id(mesh)):
+        # bf16/mesh are fixed per run in practice; restage if they differ.
+        # The mesh is compared by LIVE object identity through a weakref —
+        # never by id(): a garbage-collected mesh's id can be reused by a
+        # new mesh object, which would silently replay batches placed for
+        # the dead mesh. A dead weakref (or a different live mesh) simply
+        # falls through to restaging, which overwrites the stale entry.
+        if (entry is not None and entry["bf16"] == bf16
+                and entry["mesh_ref"]() is (_NO_MESH if mesh is None
+                                            else mesh)):
             yield from entry["items"]
             return
     budget = int(os.environ.get(_STAGE_BUDGET_ENV, _STAGE_BUDGET_DEFAULT))
@@ -111,8 +122,16 @@ def _device_batches(feed, bf16: bool, prefetch_depth: int, mesh):
                 items.append(out)
         yield out
     if stage and items is not None:
+        if mesh is None:
+            mesh_ref = lambda: _NO_MESH  # noqa: E731 — see _NO_MESH above
+        else:
+            try:
+                mesh_ref = weakref.ref(mesh)
+            except TypeError:  # non-weakrefable mesh: pin it alive instead
+                mesh_ref = (lambda m: lambda: m)(mesh)
         try:
-            _STAGED_FEEDS[feed] = {"key": (bf16, id(mesh)), "items": items}
+            _STAGED_FEEDS[feed] = {
+                "bf16": bf16, "mesh_ref": mesh_ref, "items": items}
             logger.info(
                 "staged eval feed on device: %d batches, %.1f MB HBM "
                 "(replayed on later passes)", len(items), staged_bytes / 2**20)

@@ -147,8 +147,13 @@ def main():
         with open(path) as fh:
             prev = json.load(fh)
         rows = {int(k): v for k, v in prev["step_by_batch"].items()}
-        out["step_rows_reused_from"] = prev.get("captured", ver)
+        # provenance chain: the rows came from whatever round actually
+        # measured them ('captured'), possibly through earlier --val_only
+        # hops ('step_rows_reused_from'); never stamp the current round.
+        out["step_rows_reused_from"] = prev.get(
+            "step_rows_reused_from", prev.get("captured", "unknown"))
     else:
+        out["captured"] = ver
         # reference regime (batch 64) + production default (128) +
         # headroom rows
         rows = {}

@@ -63,3 +63,30 @@ def test_end2end_clip_trains(tmp_path):
 
     assert result["best_perf"] > 0
     assert os.path.exists(os.path.join(result["model_path"], "model_best.pth.tar"))
+
+
+def test_end2end_stage_val_opt_out_matches(tmp_path, monkeypatch):
+    """--stage_val_features 0 (documented opt-out, MIGRATING.md) and a
+    budget overflow must both fall back to per-epoch lazy streaming on
+    the End2EndClip path — same metrics, nothing pinned in host RAM."""
+    root = str(tmp_path)
+    build_image_world(root, "e2etrain", 12, 2, 0)
+    build_image_world(root, "e2eval", 6, 1, 5)
+
+    def run(prefix, stage, budget=None):
+        if budget is None:
+            monkeypatch.delenv("LAFF_TPU_EVAL_STAGE_BUDGET", raising=False)
+        else:
+            monkeypatch.setenv("LAFF_TPU_EVAL_STAGE_BUDGET", str(budget))
+        opt = Options(
+            trainCollection="e2etrain", valCollection="e2eval", rootpath=root,
+            val_set="no", config_name="e2e_tiny", num_epochs=1, batch_size=8,
+            model_prefix=prefix, stage_val_features=stage,
+        )
+        return e2e_main(opt)["best_perf"]
+
+    staged = run("run_staged", 1)
+    lazy = run("run_lazy", 0)
+    overflow = run("run_overflow", 1, budget=1)  # 1 byte: nothing fits
+    assert staged == pytest.approx(lazy, abs=1e-6)
+    assert staged == pytest.approx(overflow, abs=1e-6)

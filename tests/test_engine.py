@@ -785,6 +785,70 @@ def test_staged_eval_feed_replays_device_batches(monkeypatch):
                                       np.asarray(d2["feat"]))
 
 
+def test_staged_eval_feed_mesh_identity_not_id():
+    """A staged entry whose mesh is gone must NEVER replay for a later
+    mesh object (CPython reuses freed object ids, so keying on id(mesh)
+    could silently serve arrays placed for the dead mesh): a dead
+    mesh_ref — or a different live mesh — must fall through to
+    restaging under the current mesh.
+
+    Note jax interns Mesh objects (an equal-shaped Mesh is the SAME
+    object and its intern cache keeps it alive), so the dead-weakref
+    case is simulated by killing the stored ref directly; the
+    different-live-mesh case uses a differently-shaped mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    from laff_tpu.data import EvalFeed
+    from laff_tpu.engine.evaluator import _STAGED_FEEDS, _device_batches
+
+    rng = np.random.default_rng(0)
+    table = {f"v{i}": rng.standard_normal((8,)).astype(np.float32)
+             for i in range(8)}
+    calls = {"n": 0}
+
+    def batcher(ids):
+        calls["n"] += 1
+        return {"feat": np.stack([table[i] for i in ids])}
+
+    feed = EvalFeed(list(table), batcher, batch_size=8)
+    feed.stage_on_device = True
+
+    mesh_a = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("dp", "mp"))
+    list(_device_batches(feed, bf16=False, prefetch_depth=1, mesh=mesh_a))
+    assert calls["n"] == 1
+    # same live mesh object -> replay
+    list(_device_batches(feed, bf16=False, prefetch_depth=1, mesh=mesh_a))
+    assert calls["n"] == 1
+    entry = _STAGED_FEEDS[feed]
+    assert entry["mesh_ref"]() is mesh_a
+
+    # a DIFFERENT live mesh must restage, never replay A's placement
+    mesh_b = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("dp", "mp"))
+    assert mesh_b is not mesh_a
+    list(_device_batches(feed, bf16=False, prefetch_depth=1, mesh=mesh_b))
+    assert calls["n"] == 2  # restaged for mesh_b
+    assert _STAGED_FEEDS[feed]["mesh_ref"]() is mesh_b
+    # replay works again under the new binding
+    list(_device_batches(feed, bf16=False, prefetch_depth=1, mesh=mesh_b))
+    assert calls["n"] == 2
+
+    # dead-weakref path: once the referent is collected the ref returns
+    # None, which must compare unequal to ANY live mesh -> restage (this
+    # is exactly the id-reuse scenario: new object, same address)
+    _STAGED_FEEDS[feed]["mesh_ref"] = lambda: None
+    list(_device_batches(feed, bf16=False, prefetch_depth=1, mesh=mesh_b))
+    assert calls["n"] == 3  # did NOT replay the stale entry
+    assert _STAGED_FEEDS[feed]["mesh_ref"]() is mesh_b
+    # and mesh=None runs never replay an entry staged for a real mesh
+    _STAGED_FEEDS[feed]["mesh_ref"] = lambda: None
+    list(_device_batches(feed, bf16=False, prefetch_depth=1, mesh=None))
+    assert calls["n"] == 4
+    # but a mesh=None entry DOES replay for later mesh=None passes
+    list(_device_batches(feed, bf16=False, prefetch_depth=1, mesh=None))
+    assert calls["n"] == 4
+
+
 def test_train_main_staged_val_matches_unstaged(tiny_world):
     """stage_val_features must not change a single reported metric: the
     staged replay path serves the exact arrays the unstaged path uploads
