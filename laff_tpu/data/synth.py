@@ -24,6 +24,16 @@ WORDS = [
 ]
 
 
+def make_word_pool(n: int):
+    """Deterministic word pool of size n: WORDS first, then synthetic
+    pseudo-words (``wordNN``). Larger equivalence worlds need more
+    distinct words than the 18 stock ones so hundreds of videos don't
+    collapse onto near-duplicate latent codes."""
+    if n <= len(WORDS):
+        return WORDS[:n]
+    return WORDS + [f"word{i:03d}" for i in range(n - len(WORDS))]
+
+
 def build_collection(
     root: str,
     collection: str,
@@ -34,18 +44,21 @@ def build_collection(
     seed: int = 0,
     frame_feat: bool = False,
     max_frames: int = 6,
+    word_pool=None,
+    noise: float = 0.05,
 ):
     rng = np.random.default_rng(seed)
     cdir = os.path.join(root, collection)
     vids = [f"video{i}" for i in range(n_videos)]
+    words = list(word_pool) if word_pool is not None else WORDS
 
     # each video gets 4 distinct words; its latent code is the sum of fixed
     # per-word vectors, so BoW text linearly predicts the video features
     word_codes = np.random.default_rng(99).standard_normal(
-        (len(WORDS), latent_dim)
+        (len(words), latent_dim)
     ).astype(np.float32)
     video_words = [
-        sorted(rng.choice(len(WORDS), size=4, replace=False)) for _ in vids
+        sorted(rng.choice(len(words), size=4, replace=False)) for _ in vids
     ]
     latent = np.stack([word_codes[w].sum(0) for w in video_words])
 
@@ -54,7 +67,7 @@ def build_collection(
         proj = np.random.default_rng(zlib.crc32(feat.encode()) % 2**31).standard_normal(
             (latent_dim, dim)
         ).astype(np.float32)
-        mat = latent @ proj + 0.05 * rng.standard_normal((n_videos, dim)).astype(
+        mat = latent @ proj + noise * rng.standard_normal((n_videos, dim)).astype(
             np.float32
         )
         write_bigfile(os.path.join(cdir, "FeatureData", feat), vids, mat)
@@ -84,7 +97,7 @@ def build_collection(
     os.makedirs(os.path.join(cdir, "TextData"), exist_ok=True)
     cap_lines = []
     for i, vid in enumerate(vids):
-        base_words = [WORDS[j] for j in video_words[i]]
+        base_words = [words[j] for j in video_words[i]]
         for c in range(caps_per_video):
             order = rng.permutation(len(base_words))
             shuffled = [base_words[j] for j in order]
@@ -99,9 +112,9 @@ def build_collection(
     return cdir, vids, cap_lines
 
 
-def build_w2v(root: str, dim: int = 8, seed: int = 3) -> str:
+def build_w2v(root: str, dim: int = 8, seed: int = 3, word_pool=None) -> str:
     rng = np.random.default_rng(seed)
     d = os.path.join(root, "word2vec", "toy")
-    vocab = WORDS + ["the", "a"]
+    vocab = (list(word_pool) if word_pool is not None else WORDS) + ["the", "a"]
     write_bigfile(d, vocab, rng.standard_normal((len(vocab), dim)).astype(np.float32))
     return d

@@ -78,6 +78,8 @@ def run_ours_seed(root, seed, epochs, batch, lr, timeout=1800):
 
 def mean_sd(xs):
     m = sum(xs) / len(xs)
+    if len(xs) < 2:  # --seeds 1 smoke runs: no spread estimate
+        return m, float("nan")
     var = sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
     return m, math.sqrt(var)
 
@@ -87,6 +89,10 @@ def welch(a, b):
     ma, sa = mean_sd(a)
     mb, sb = mean_sd(b)
     na, nb = len(a), len(b)
+    if na < 2 or nb < 2:  # smoke runs: no inference possible
+        nan = float("nan")
+        return {"t": nan, "dof": nan, "diff": ma - mb,
+                "ci95": [nan, nan], "se": nan}
     se2 = sa * sa / na + sb * sb / nb
     se = math.sqrt(se2)
     t = (ma - mb) / se
@@ -123,6 +129,15 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--train_videos", type=int, default=48)
     ap.add_argument("--val_videos", type=int, default=24)
+    ap.add_argument("--feat_dims", default=None,
+                    help="e.g. 'clip_ft:512,x3d:1024' (default: toy 16/12)")
+    ap.add_argument("--latent_dim", type=int, default=5)
+    ap.add_argument("--words", type=int, default=None,
+                    help="word-pool size (default: the 18 stock words)")
+    ap.add_argument("--noise", type=float, default=0.05,
+                    help="absolute feature-noise sd (signal sd is "
+                         "~2*sqrt(latent_dim); raise to pull the world off "
+                         "the mir ceiling)")
     ap.add_argument("--root", default=None)
     ap.add_argument("--out",
                     default=os.path.join(REPO, "EQUIVALENCE_SCRATCH.json"))
@@ -130,11 +145,20 @@ def main():
 
     from train_equivalence import build_world
 
+    feat_dims = None
+    if args.feat_dims:
+        feat_dims = tuple(
+            (n, int(d)) for n, d in
+            (pair.split(":") for pair in args.feat_dims.split(",")))
+
     root = args.root or tempfile.mkdtemp(prefix="equiv_scratch_")
     if not os.path.isdir(os.path.join(root, "equivtrain")):
-        build_world(root, n_train=args.train_videos, n_val=args.val_videos)
+        build_world(root, n_train=args.train_videos, n_val=args.val_videos,
+                    feat_dims=feat_dims, latent_dim=args.latent_dim,
+                    n_words=args.words, noise=args.noise)
     print(f"world at {root} ({args.train_videos} train / "
-          f"{args.val_videos} val videos)", flush=True)
+          f"{args.val_videos} val videos, feat_dims={feat_dims or 'toy'}, "
+          f"latent={args.latent_dim}, words={args.words or 18})", flush=True)
 
     seeds = list(range(2, 2 + args.seeds))
     jobs = []
@@ -162,7 +186,11 @@ def main():
     report = {
         "world": {"root": root, "train_videos": args.train_videos,
                   "val_videos": args.val_videos, "epochs": args.epochs,
-                  "batch_size": args.batch_size, "lr": args.lr},
+                  "batch_size": args.batch_size, "lr": args.lr,
+                  "feat_dims": list(feat_dims) if feat_dims
+                  else [["clip_ft", 16], ["x3d", 12]],
+                  "latent_dim": args.latent_dim,
+                  "word_pool": args.words or 18, "noise": args.noise},
         "n_per_stack": args.seeds, "seeds": seeds,
         "ref": {"mean": mr, "sd": sr, "best_mir": ref},
         "ours": {"mean": mo, "sd": so, "best_mir": ours},

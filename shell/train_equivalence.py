@@ -30,18 +30,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_world(root, n_train=48, n_val=24, seed=0):
+def build_world(root, n_train=48, n_val=24, seed=0, feat_dims=None,
+                latent_dim=5, n_words=None, noise=0.05):
     """Shared synthetic world in the reference layout. The toy word2vec is
     written both where laff_tpu's tiny config looks (word2vec/toy) and where
     the reference hardcodes it (word2vec/flickr/vec500flickr30m,
-    trainer.py:190) — identical content."""
-    from laff_tpu.data.synth import build_collection, build_w2v
+    trainer.py:190) — identical content.
 
+    feat_dims / latent_dim / n_words scale the world up (VERDICT r4 item
+    4: hundreds of videos at realistic feature dims instead of the 8-dim
+    toy): e.g. feat_dims=(("clip_ft", 512), ("x3d", 1024)), latent_dim=32,
+    n_words=64. Both stacks read feature dims from the BigFile shape and
+    vocab from the captions, so no config change is needed."""
+    from laff_tpu.data.synth import build_collection, build_w2v, make_word_pool
+
+    pool = make_word_pool(n_words) if n_words else None
+    kw = dict(latent_dim=latent_dim, word_pool=pool, noise=noise)
+    if feat_dims is not None:
+        kw["feat_dims"] = tuple(feat_dims)
     build_collection(root, "equivtrain", n_videos=n_train, caps_per_video=2,
-                     seed=seed)
+                     seed=seed, **kw)
     build_collection(root, "equivval", n_videos=n_val, caps_per_video=1,
-                     seed=seed + 100)
-    build_w2v(root)
+                     seed=seed + 100, **kw)
+    build_w2v(root, word_pool=pool)
     ref_w2v = os.path.join(root, "word2vec", "flickr", "vec500flickr30m")
     if not os.path.isdir(ref_w2v):
         os.makedirs(os.path.dirname(ref_w2v), exist_ok=True)
