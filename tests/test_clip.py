@@ -360,7 +360,10 @@ def _jit_archive_from_sd(sd, path):
             if not hasattr(m, p):
                 m.add_module(p, torch.nn.Module())
             m = getattr(m, p)
-        m.register_parameter(parts[-1], torch.nn.Parameter(v.clone()))
+        if v.is_floating_point():
+            m.register_parameter(parts[-1], torch.nn.Parameter(v.clone()))
+        else:  # e.g. BN num_batches_tracked (int64) in RN-family dumps
+            m.register_buffer(parts[-1], v.clone())
     # the released archives also carry non-weight buffers that the
     # reference strips before build_model (model/clip/model.py:430-432)
     root.register_buffer("input_resolution", torch.tensor(16))
@@ -440,3 +443,62 @@ def test_clip_load_name_resolution(tmp_path, monkeypatch):
     # at the final path and left no temp droppings behind
     assert (tmp_path / "Tiny2.pt").read_bytes() == b"garbage"
     assert not list(tmp_path.glob("*.tmp.*"))
+
+
+def test_rn50x4_full_load_path(tmp_path, rng):
+    """VERDICT r4 item 7: the RN-family width multipliers through the FULL
+    acquisition path. An RN50x4-shaped TorchScript archive (vision width
+    80 -> heads 40, stages (4, 6, 10, 6), 288 px, embed 640; text width
+    640 -> heads 10) round-trips clip.load-style acquisition -> shape
+    inference -> tower import, and both towers match the reference torch
+    CLIP built from the same state dict (reference RN50x4 geometry per
+    build_model, model/clip/model.py:401-438)."""
+    from laff_tpu.models.clip import load
+    from laff_tpu.models.clip.resnet import ClipResNetConfig
+
+    torch.manual_seed(17)
+    ref = _load_reference_clip_model()
+    m = ref.CLIP(
+        embed_dim=640, image_resolution=288, vision_layers=(4, 6, 10, 6),
+        vision_width=80, vision_patch_size=None, context_length=77,
+        vocab_size=49408, transformer_width=640, transformer_heads=10,
+        transformer_layers=12,
+    )
+    m.eval()
+    sd = {k: v.detach().clone() for k, v in m.state_dict().items()}
+    path = tmp_path / "RN50x4.pt"
+    _jit_archive_from_sd(sd, path)
+
+    loaded = load(str(path))
+    arch = loaded.arch
+    assert not arch.vit
+    assert isinstance(arch.vision, ClipResNetConfig)
+    assert arch.vision.layers == (4, 6, 10, 6)
+    assert arch.vision.width == 80
+    assert arch.vision.heads == 40          # width * 32 // 64
+    assert arch.vision.image_size == 288    # (sqrt(82 - 1)) * 32
+    assert arch.vision.embed_dim == 640
+    assert arch.text.width == 640
+    assert arch.text.heads == 10
+    assert arch.text.layers == 12
+    assert loaded.input_resolution == 288
+
+    # text parity against the reference CLIP's own encode_text
+    from laff_tpu.models.clip import tokenize
+
+    ids = np.asarray(tokenize(["a dog runs", "two people talk quietly"]))
+    with torch.no_grad():
+        want_txt = m.encode_text(torch.from_numpy(ids.astype(np.int64)))
+    got_txt = np.asarray(
+        loaded.text_tower.apply(loaded.text_vars, jnp.asarray(ids)))
+    np.testing.assert_allclose(got_txt, want_txt.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+    # vision parity at the native 288 px through all 26 bottlenecks
+    imgs = rng.standard_normal((1, 288, 288, 3)).astype(np.float32)
+    with torch.no_grad():
+        want_vis = m.encode_image(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    got_vis = np.asarray(
+        loaded.vision_tower.apply(loaded.vision_vars, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got_vis, want_vis, rtol=1e-3, atol=1e-3)
