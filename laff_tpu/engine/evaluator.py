@@ -318,9 +318,16 @@ def t2v_ranks(
         return np.asarray(
             fused_sim_rank(tn, vn, jnp.asarray(gt), prenormalized=True)
         )
+    budget = int(os.environ.get("LAFF_TPU_FLAT_SCORE_BUDGET",
+                                 _FLAT_SCORE_BUDGET))
+    if path == "flat":
+        # grow the text block up to the score budget: one (n, V) block at
+        # val/benchmark scale means ONE compiled rank program instead of a
+        # full block + a differently-shaped remainder block — each extra
+        # shape is a multi-minute XLA compile through tunneled deployments
+        # and the val pass is on the per-epoch path (VERDICT r4 item 2)
+        block = min(n, max(block, max(256, (budget // (v * 4)) // 256 * 256)))
     if path == "blockwise":
-        budget = int(os.environ.get("LAFF_TPU_FLAT_SCORE_BUDGET",
-                                    _FLAT_SCORE_BUDGET))
         block = min(block, max(256, (budget // (v * 4)) // 256 * 256))
     ranks = np.empty((n,), dtype=np.int32)
     for start in range(0, n, block):

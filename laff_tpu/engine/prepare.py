@@ -104,6 +104,10 @@ class Options:
     # 1 = project both towers into the object-caption bow concept space
     # and add the BCE + concept-triplet auxiliary loss (Task2Spec).
     task2_intended: int = 0
+    # Epochs without val improvement before stopping (reference
+    # trainer.py:426-433 hardcodes 10). Raise for fixed-epoch-count
+    # measurement runs (e.g. the 80-epoch wall-clock headline).
+    early_stop_patience: int = 10
 
 
 def load_config(config_name: str):

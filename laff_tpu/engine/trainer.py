@@ -1134,7 +1134,8 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
             # a resumable run pays one full-state pickle (params + adam
             # moments) per epoch; plain runs skip it
             saver.submit(save_checkpoint, resume_payload(epoch), resume_path)
-        if no_impr > 10 or epoch == opt.num_epochs - 1:
+        if (no_impr > int(getattr(opt, "early_stop_patience", 10))
+                or epoch == opt.num_epochs - 1):
             saver.join()
             if is_main:
                 save_checkpoint_dance(

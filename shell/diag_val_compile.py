@@ -54,7 +54,10 @@ def main():
     )
     model = LAFFModel(spec)
     rng = np.random.default_rng(0)
-    txt, vis = ge._example_batch(rng, b=1024, spec=spec)
+    # init at a TINY batch: param shapes are batch-independent, and the
+    # init program at b=1024 is itself a multi-minute compile over the
+    # tunnel that would pollute the phase breakdown
+    txt, vis = ge._example_batch(rng, b=8, spec=spec)
 
     t0 = time.perf_counter()
     variables = model.init(
