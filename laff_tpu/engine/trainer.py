@@ -779,8 +779,10 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
 
     enable_compile_cache()
 
+    t_prepare = time.time()
     if prepared is None:
         prepared = prepare(opt)
+    prepare_seconds = time.time() - t_prepare
     config = prepared.config
     spec = prepared.spec
     model_path = prepared.model_path
@@ -1035,8 +1037,10 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         return payload
 
     saver = _AsyncSaver()
-    result = {"best_perf": best_perf, "epochs": start_epoch}
+    result = {"best_perf": best_perf, "epochs": start_epoch,
+              "prepare_seconds": round(prepare_seconds, 1)}
     for epoch in range(start_epoch, opt.num_epochs):
+        t_epoch = time.time()
         lr = lr_ctl.current()
         state = set_learning_rate(state, lr)
         state = anneal_schedule(state, config.txt_attention_global_decay_rate)
@@ -1089,6 +1093,7 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         hist.write("epoch_%d:\nText2Video(%s): %f\n" % (epoch, opt.metric, cur_perf))
         hist.flush()
         entry = {"epoch": epoch, "loss": float(train_loss), "lr": float(lr),
+                 "train_seconds": round(epoch_time, 2),
                  **{k: float(metrics[k]) for k in
                     ("r1", "r5", "r10", "medr", "meanr", "mir", "mAP")}}
         if negationset is not None:
@@ -1112,10 +1117,14 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
         lr_ctl.step(cur_perf)
         is_best = cur_perf > best_perf
         best_perf = max(cur_perf, best_perf)
-        if is_main:
+        if is_main and is_best:
+            # non-best epochs: the dance is a no-op during training
+            # (only_best=False writes nothing), so skip the ~payload-sized
+            # device->host pull entirely instead of fetching 300+ MB of
+            # params per epoch for a submit that does nothing
             saver.submit(
                 save_checkpoint_dance,
-                ckpt_payload(epoch), is_best, logdir=model_path,
+                ckpt_payload(epoch), True, logdir=model_path,
                 filename=f"checkpoint_epoch_{epoch}.pth.tar",
             )
 
@@ -1130,6 +1139,7 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
                 save_checkpoint(payload, os.path.join(model_path, "mean_last10.pth.tar"))
 
         no_impr += 1
+        entry["wall_seconds"] = round(time.time() - t_epoch, 2)
         if getattr(opt, "resume", 0) and is_main:
             # a resumable run pays one full-state pickle (params + adam
             # moments) per epoch; plain runs skip it

@@ -87,6 +87,13 @@ def test_train_end_to_end(tiny_world):
     assert ckpt["best_perf"] == pytest.approx(result["best_perf"])
     assert "params" in ckpt and "config" in ckpt and "spec" in ckpt
 
+    # per-epoch timing breakdown recorded for the measured-headline driver
+    assert result["prepare_seconds"] >= 0
+    hist = result["history"]
+    assert hist and all(
+        "train_seconds" in e and "wall_seconds" in e for e in hist
+    )
+
     # warm start from the checkpoint (pretrained_file_path path)
     opt2 = make_opt(
         tiny_world, num_epochs=1, model_prefix="run_warm",
@@ -858,5 +865,8 @@ def test_train_main_staged_val_matches_unstaged(tiny_world):
     r_plain = main(make_opt(tiny_world, num_epochs=3,
                             model_prefix="run_unstaged", stage_val_features=0))
     assert r_staged["best_perf"] == pytest.approx(r_plain["best_perf"], abs=0)
+    timing = {"train_seconds", "wall_seconds"}  # wall clock, run-specific
     for e1, e2 in zip(r_staged["history"], r_plain["history"]):
-        assert e1 == e2, (e1, e2)
+        s1 = {k: v for k, v in e1.items() if k not in timing}
+        s2 = {k: v for k, v in e2.items() if k not in timing}
+        assert s1 == s2, (e1, e2)
