@@ -622,6 +622,48 @@ class ScalarLogger:
             self._tb.close()
 
 
+def _epoch_key_chain(epoch: int, n_steps: int, block: int = 256):
+    """Per-step dropout keys for one epoch, served from the host.
+
+    Semantically identical to the original per-batch
+    ``rng, step_rng = jax.random.split(rng)`` chain seeded with
+    ``jax.random.key(epoch)`` — the whole chain is reproduced inside ONE
+    ``lax.scan`` dispatch and fetched as raw key data (16 KB for a
+    2k-step epoch), instead of issuing one device dispatch per batch.
+    Through a tunneled runtime those 2k tiny ``split`` dispatches were a
+    measurable slice of the steady-epoch wall (the device work itself is
+    batched into K-step scans, but the key chain was still per-batch).
+
+    Yields (2,) uint32 rows (``jax.random.key_data`` layout); consumers
+    rebuild typed keys with ``jax.random.wrap_key_data``. If a feed
+    yields more batches than ``steps_per_epoch`` promised, the chain
+    continues from the saved carry in ``block``-sized scans — still
+    bit-identical to the sequential split sequence."""
+
+    def chain(carry, _):
+        pair = jax.random.split(carry)
+        return pair[0], pair[1]
+
+    def run(carry, length):
+        c, keys = jax.lax.scan(chain, carry, None, length=length)
+        return jax.random.key_data(c), jax.random.key_data(keys)
+
+    run = jax.jit(run, static_argnums=1)
+    carry = jax.random.key(epoch)
+    carry_data, keys_data = run(carry, max(int(n_steps), 1))
+    while True:
+        host = np.asarray(keys_data)
+        for row in host:
+            yield row
+        carry = jax.random.wrap_key_data(jnp.asarray(np.asarray(carry_data)))
+        carry_data, keys_data = run(carry, block)
+
+
+def _wrap_keys(rows):
+    """(K, 2) uint32 host rows -> (K,) typed key array on device."""
+    return jax.random.wrap_key_data(jnp.asarray(np.stack(rows)))
+
+
 def _stack_batches(batches, key, bf16=False):
     names = batches[0][key].keys()
     out = {n: np.stack([b[key][n] for b in batches]) for n in names}
@@ -646,7 +688,7 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
     dp on axis 1 (the per-step batch axis)."""
     meter = AverageMeter()
     progress = Progress(feed.steps_per_epoch() * feed.batch_size, f"epoch {epoch}")
-    rng = jax.random.key(epoch)
+    step_keys = _epoch_key_chain(epoch, feed.steps_per_epoch())
     pending = []  # device loss values (scalars or (K,) stacks) awaiting readback
     pending_n = 0
     step0 = int(state.step)
@@ -671,6 +713,7 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
     def single_step(state, batch):
         txt = txt_arg(batch)
         vis = vis_arg(batch)
+        step_rng = _wrap_keys([batch["_rng"]])[0]
         if mesh is not None:
             txt = shard_batch(txt, mesh, from_global=True)
             vis = shard_batch(vis, mesh, from_global=True)
@@ -679,12 +722,12 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
             if mesh is not None:
                 false_txt = shard_batch(false_txt, mesh, from_global=True)
             return train_step(
-                state, txt, vis, batch["_rng"],
+                state, txt, vis, step_rng,
                 false_txt_batch=false_txt,
                 task3_mask=jnp.asarray(batch["task3_mask"]),
                 epoch=epoch,
             )
-        return train_step(state, txt, vis, batch["_rng"])
+        return train_step(state, txt, vis, step_rng)
 
     def flush(state):
         nonlocal pending_n
@@ -700,7 +743,7 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
                 b["txt"][k].shape == lead[k].shape for b in buf for k in lead
             )
         if use_scan and same:
-            rngs = jnp.stack([b["_rng"] for b in buf])
+            rngs = _wrap_keys([b["_rng"] for b in buf])
             if vis_cache is not None:
                 vis_s = jnp.asarray(np.stack(
                     [vis_cache.indices(b["vis_ids"]) for b in buf]))
@@ -741,8 +784,7 @@ def train_one_epoch(train_step, state, feed, epoch, mesh=None, logger_=None,
         return state
 
     for i, batch in enumerate(Prefetcher(feed.epoch(epoch), depth=prefetch_depth)):
-        rng, step_rng = jax.random.split(rng)
-        batch["_rng"] = step_rng
+        batch["_rng"] = next(step_keys)
         if use_scan:
             buf.append(batch)
             if len(buf) >= steps_per_dispatch:
