@@ -870,3 +870,29 @@ def test_train_main_staged_val_matches_unstaged(tiny_world):
         s1 = {k: v for k, v in e1.items() if k not in timing}
         s2 = {k: v for k, v in e2.items() if k not in timing}
         assert s1 == s2, (e1, e2)
+
+
+def test_epoch_key_chain_bit_identical_to_sequential_splits():
+    """The scanned per-epoch key chain (one dispatch) must reproduce the
+    original per-batch ``rng, step = jax.random.split(rng)`` sequence
+    bit-for-bit — resume points and golden runs depend on the values.
+    Covers the continuation path (iterating past ``n_steps``)."""
+    import jax
+    import numpy as np
+    from laff_tpu.engine.trainer import _epoch_key_chain, _wrap_keys
+
+    rng = jax.random.key(7)
+    ref = []
+    for _ in range(300):
+        rng, step = jax.random.split(rng)
+        ref.append(np.asarray(jax.random.key_data(step)))
+    ref = np.stack(ref)
+
+    it = _epoch_key_chain(7, 260, block=16)  # force several continuations
+    got = np.stack([next(it) for _ in range(300)])
+    np.testing.assert_array_equal(ref, got)
+
+    wrapped = _wrap_keys([got[0], got[1]])
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(wrapped[1])), ref[1]
+    )
