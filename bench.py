@@ -53,6 +53,7 @@ K_MANY = 9  # iterations fused into one dispatch for the k-differencing
 # well under the driver's kill window even with the probe phase maxed.
 PROBE_MAX_S = 360
 KERNEL_TIMEOUT_S = 330
+KERNEL_TIMEOUT_DEGRADED_S = 1080  # slow-compile nights: 10-30x compiles
 RTT_TIMEOUT_S = 120
 REF_TIMEOUT_S = 240
 
@@ -180,9 +181,15 @@ def wait_for_backend(max_wait_s: int = PROBE_MAX_S, probe_timeout_s: int = 90):
     Backend init failure is terminal for a process (jax caches the error),
     so probe in SUBPROCESSES and only proceed once one succeeds. The
     remote axon backend has been observed to go UNAVAILABLE for tens of
-    minutes after a client was killed mid-compile. Returns True when the
-    backend answered, False when the wait window expired — the caller
-    records a structured outage instead of wedging (round 4's rc=124)."""
+    minutes after a client was killed mid-compile. Returns (ok, degraded):
+    ok=False when the wait window expired — the caller records a
+    structured outage instead of wedging (round 4's rc=124);
+    degraded=True when the backend answered but slowly (a retry was
+    needed, or the successful probe took >30 s) — compiles on such
+    nights have measured 10-30x the normal latency, so the caller
+    switches to one extended-budget kernel attempt instead of two
+    normal-budget ones that would both time out (and each mid-compile
+    kill deepens the backend's degradation)."""
     code = ("import jax, numpy as np, jax.numpy as jnp; "
             "np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((4,)))); "
             "print('ok')")
@@ -190,12 +197,14 @@ def wait_for_backend(max_wait_s: int = PROBE_MAX_S, probe_timeout_s: int = 90):
     attempt = 0
     while True:
         attempt += 1
+        t0 = time.time()
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True,
                                timeout=probe_timeout_s)
             if r.returncode == 0 and "ok" in r.stdout:
-                return True
+                probe_s = time.time() - t0
+                return True, (attempt > 1 or probe_s > 30)
             err = (r.stderr or r.stdout).strip().splitlines()
             err = err[-1] if err else "unknown"
         except subprocess.TimeoutExpired:
@@ -203,7 +212,7 @@ def wait_for_backend(max_wait_s: int = PROBE_MAX_S, probe_timeout_s: int = 90):
         if time.time() >= deadline:
             print(f"# backend probe still failing after {max_wait_s}s: {err}",
                   flush=True)
-            return False
+            return False, True
         print(f"# backend probe {attempt} failed ({err}); retrying...",
               flush=True)
         time.sleep(30)
@@ -243,8 +252,12 @@ def _phase_main(flag):
         raise SystemExit(f"unknown phase flag {flag}")
 
 
+_FINAL_PRINTED = False
+
+
 def _fail(error, detail=None):
     """The guaranteed-parseable failure line (same schema, value null)."""
+    global _FINAL_PRINTED
     out = {
         "metric": "mvtest3k_sim_rank_queries_per_sec_per_chip",
         "value": None,
@@ -254,14 +267,25 @@ def _fail(error, detail=None):
     }
     if detail:
         out["detail"] = detail
+    _FINAL_PRINTED = True
     print(json.dumps(out), flush=True)
 
 
 def main():
-    if wait_for_backend():
-        backend_ok = True
-    else:
-        backend_ok = False
+    # Insurance against an external kill (the driver's own timeout): if
+    # SIGTERM arrives before the final line is printed, emit the
+    # structured-failure line so the capture parses even when this
+    # process is ended mid-phase (round 4 recorded rc=124 with NO line).
+    import signal
+
+    def _on_term(signum, frame):
+        if not _FINAL_PRINTED:
+            _fail("killed_externally", f"signal {signum} mid-run")
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    backend_ok, degraded = wait_for_backend()
 
     # reference baseline is host-torch: measure it regardless (bounded)
     ref, ref_err = _run_phase("--_ref", REF_TIMEOUT_S)
@@ -272,14 +296,33 @@ def main():
               f"probe window {PROBE_MAX_S}s expired; ref_qps={qps_ref}")
         return
 
+    # On a degraded backend (slow-compile regime), run ONLY the flat
+    # kernel — it holds the headline at this gallery size — with an
+    # extended budget, instead of two normal-budget attempts that would
+    # both die mid-compile (each kill deepens the degradation; see
+    # .claude/skills/verify round-3 addendum).
+    if degraded:
+        print("# degraded backend: single extended-budget kernel attempt",
+              flush=True)
+        plan = [("xla_flat_count", KERNEL_TIMEOUT_DEGRADED_S)]
+    else:
+        plan = [("xla_flat_count", KERNEL_TIMEOUT_S),
+                ("pallas_fused", KERNEL_TIMEOUT_S)]
+
     results, errors = [], {}
-    for name in ("xla_flat_count", "pallas_fused"):
-        res, err = _run_phase(f"--_kernel={name}", KERNEL_TIMEOUT_S)
+    for name, budget in plan:
+        res, err = _run_phase(f"--_kernel={name}", budget)
         if res:
             results.append(res)
         else:
             errors[name] = err
             print(f"# kernel {name} failed: {err}", flush=True)
+            if err and err.startswith("timeout"):
+                # cascade guard: a timeout here killed a compile; further
+                # attempts both fail AND deepen the backend wedge
+                for later, _ in plan[len(results) + len(errors):]:
+                    errors[later] = "skipped: cascade guard after a timeout"
+                break
 
     if not results:
         _fail("all_kernels_failed", errors)
@@ -319,6 +362,10 @@ def main():
         out["kernel_errors"] = errors
     if ref_err:
         out["ref_error"] = ref_err
+    if degraded:
+        out["degraded_backend"] = True
+    global _FINAL_PRINTED
+    _FINAL_PRINTED = True
     print(json.dumps(out), flush=True)
 
 
