@@ -936,6 +936,14 @@ def main(opt, prepared: Optional[Prepared] = None, mesh=None) -> Dict:
     # prefetch queue depth: how many batches the background featurizer
     # thread keeps in flight ahead of the device
     prefetch_depth = max(2, int(getattr(opt, "workers", 2)) + 1)
+    if spd > 1 and txt_cache is not None and vis_cache is not None:
+        # index-only batches (both HBM caches active) are a few KB each:
+        # keep a whole K-step dispatch stack (+ slack) queued so the
+        # feed thread assembles the NEXT stack while the main thread
+        # blocks in the per-flush loss readback — otherwise the host
+        # re-assembles most of each stack while the device sits idle
+        # (measured ~5 s of a 17.9 s steady epoch at K=64, batch 64)
+        prefetch_depth = max(prefetch_depth, spd + 2)
     # mesh divisibility: the dp axis (and any configured multiple) must
     # divide the batch so shard_batch produces equal per-device slices
     multiple = int(getattr(config, "device_batch_multiple", 1) or 1)
