@@ -296,33 +296,38 @@ def main():
               f"probe window {PROBE_MAX_S}s expired; ref_qps={qps_ref}")
         return
 
-    # On a degraded backend (slow-compile regime), run ONLY the flat
-    # kernel — it holds the headline at this gallery size — with an
-    # extended budget, instead of two normal-budget attempts that would
-    # both die mid-compile (each kill deepens the degradation; see
-    # .claude/skills/verify round-3 addendum).
-    if degraded:
-        print("# degraded backend: single extended-budget kernel attempt",
-              flush=True)
-        plan = [("xla_flat_count", KERNEL_TIMEOUT_DEGRADED_S)]
-    else:
-        plan = [("xla_flat_count", KERNEL_TIMEOUT_S),
-                ("pallas_fused", KERNEL_TIMEOUT_S)]
-
+    # The flat kernel holds the headline at this gallery size, so it
+    # always gets the extended budget — a generous timeout costs nothing
+    # on a normal night (compile+measure ~2 min) and survives the
+    # slow-compile regime (observed 10-30x compile latency with a FAST
+    # trivial-op probe, so backend health cannot be inferred up front).
+    # The pallas kernel is a secondary data point: it only runs when the
+    # flat phase was quick, because a second long compile after a slow
+    # first one risks eating the capture window, and a timeout kill
+    # mid-compile deepens the backend's degradation (verify-skill
+    # round-3 addendum).
     results, errors = [], {}
-    for name, budget in plan:
-        res, err = _run_phase(f"--_kernel={name}", budget)
-        if res:
-            results.append(res)
+    t0 = time.time()
+    res, err = _run_phase("--_kernel=xla_flat_count",
+                          KERNEL_TIMEOUT_DEGRADED_S)
+    flat_s = time.time() - t0
+    if res:
+        results.append(res)
+    else:
+        errors["xla_flat_count"] = err
+        print(f"# kernel xla_flat_count failed: {err}", flush=True)
+    if res and flat_s < 200 and not degraded:
+        res2, err2 = _run_phase("--_kernel=pallas_fused", KERNEL_TIMEOUT_S)
+        if res2:
+            results.append(res2)
         else:
-            errors[name] = err
-            print(f"# kernel {name} failed: {err}", flush=True)
-            if err and err.startswith("timeout"):
-                # cascade guard: a timeout here killed a compile; further
-                # attempts both fail AND deepen the backend wedge
-                for later, _ in plan[len(results) + len(errors):]:
-                    errors[later] = "skipped: cascade guard after a timeout"
-                break
+            errors["pallas_fused"] = err2
+            print(f"# kernel pallas_fused failed: {err2}", flush=True)
+    elif res:
+        errors["pallas_fused"] = (
+            f"skipped: flat phase took {flat_s:.0f}s or backend degraded")
+    else:
+        errors["pallas_fused"] = "skipped: cascade guard after flat failure"
 
     if not results:
         _fail("all_kernels_failed", errors)
