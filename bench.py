@@ -51,7 +51,7 @@ K_MANY = 9  # iterations fused into one dispatch for the k-differencing
 
 # Hard per-phase subprocess timeouts (seconds). Total worst case stays
 # well under the driver's kill window even with the probe phase maxed.
-PROBE_MAX_S = 360
+PROBE_MAX_S = 600  # outages have measured 30-75 min; ride out the tail
 KERNEL_TIMEOUT_S = 330
 KERNEL_TIMEOUT_DEGRADED_S = 1080  # slow-compile nights: 10-30x compiles
 RTT_TIMEOUT_S = 120
